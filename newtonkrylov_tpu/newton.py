@@ -1,0 +1,321 @@
+"""Inexact Newton–Krylov drivers.
+
+TPU-native rebuild of the reference's only exported API
+(``newton_krylov`` / ``newton_krylov!``, ``src/Ariadne.jl:245-372``), with the
+same semantics and defaults:
+
+* ``tol = tol_rel·‖F(u₀)‖ + tol_abs`` with ``tol_rel = 1e-6``,
+  ``tol_abs = 1e-12`` (src/Ariadne.jl:290-291,306).
+* Loop while ``‖F‖ > tol`` and ``outer ≤ max_niter`` (≤ 50,
+  src/Ariadne.jl:292,321).
+* Per outer iteration: fresh preconditioner factories ``M(J)``/``N(J)``
+  (src/Ariadne.jl:323-329), inner ``rtol = η`` from the forcing strategy
+  (src/Ariadne.jl:330-333), solve ``J d = F(u)``, step ``u ← u − d`` (no line
+  search by default — the reference's explicit TODO, src/Ariadne.jl:341; an
+  optional Armijo backtracking globalization is provided beyond parity).
+* Blow-up abort when ``‖F‖`` goes NaN/Inf (src/Ariadne.jl:353-356).
+* Returns ``(u, NewtonInfo(solved, stats, t))`` with wall-clock ``t``
+  (src/Ariadne.jl:370-371).
+
+Two drivers share the same per-iteration mathematics:
+
+:func:`newton_krylov`
+    Python-stepped outer loop (the inner step is jit-compiled once and
+    reused).  Supports host callbacks (solution traces,
+    examples/simple.jl:25-48), host-side preconditioner factories (ILU), and
+    leveled verbosity — the reference's interactive semantics.
+
+:func:`newton_krylov_jit`
+    The whole solve as one XLA program (``lax.while_loop`` outer loop): zero
+    host round-trips, donate-friendly, the production/serving path and the
+    unit of multi-chip sharding.  Returns a fixed-length residual-norm
+    history in place of per-iteration callbacks.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import solvers
+from .forcing import EisenstatWalker, Forcing
+from .operator import JacobianOperator
+from .spaces import EuclideanSpace, VectorSpace
+from .tree import tree_axpy, tree_sub, tree_where
+
+__all__ = ["Stats", "NewtonInfo", "newton_krylov", "newton_krylov_jit", "NewtonOptions"]
+
+
+class Stats(NamedTuple):
+    """Solve statistics (cf. ``Stats``, src/Ariadne.jl:265-276)."""
+
+    outer_iterations: Any
+    inner_iterations: Any
+    n_res: Any
+
+
+class NewtonInfo(NamedTuple):
+    """Second return value: ``(; solved, stats, t)`` (src/Ariadne.jl:371)."""
+
+    solved: Any
+    stats: Stats
+    t: Any
+    history: Any = None  # residual-norm trace (jit driver / opt-in)
+
+
+def _resolve_forcing(forcing):
+    if forcing is None:
+        return None
+    if isinstance(forcing, Forcing):
+        return forcing
+    raise TypeError(f"forcing must be a Forcing or None, got {forcing!r}")
+
+
+def _armijo_step(F, p, space, u, d, res, n_res, sigma=1.0e-4, max_backtracks=8):
+    """Backtracking line search on ‖F‖ (globalization beyond the reference's
+    fixed s=1, src/Ariadne.jl:341-344).  Halves s until the Armijo condition
+    ‖F(u - s d)‖ ≤ (1 - σ s)·‖F(u)‖ holds; falls back to the last s tried."""
+    # Unrolled fixed-trip backtracking (jit-safe, max_backtracks is static).
+    s = jnp.ones((), n_res.dtype)
+    u_new, res_new, n_new = None, None, None
+    accepted = jnp.zeros((), bool)
+    for _ in range(max_backtracks):
+        u_try = tree_axpy(-s, d, u)
+        res_try = F(u_try, p)
+        n_try = space.norm(res_try)
+        ok = (n_try <= (1.0 - sigma * s) * n_res) & jnp.logical_not(accepted)
+        if u_new is None:
+            u_new, res_new, n_new = u_try, res_try, n_try
+        else:
+            u_new = tree_where(ok, u_try, u_new)
+            res_new = tree_where(ok, res_try, res_new)
+            n_new = jnp.where(ok, n_try, n_new)
+        accepted = accepted | ok
+        s = s * 0.5
+    # If never accepted, u_new holds the first (s=1) trial — reference behavior.
+    return u_new, res_new, n_new
+
+
+def newton_krylov(
+    F: Callable,
+    u0: Any,
+    p: Any = None,
+    *,
+    tol_rel: float = 1.0e-6,
+    tol_abs: float = 1.0e-12,
+    max_niter: int = 50,
+    forcing: Optional[Forcing] = EisenstatWalker(),
+    algo: str = "gmres",
+    M: Optional[Callable] = None,
+    N: Optional[Callable] = None,
+    krylov_kwargs: Optional[dict] = None,
+    callback: Optional[Callable] = None,
+    verbose: int = 0,
+    linesearch: Optional[str] = None,
+    space: Optional[VectorSpace] = None,
+    jit_step: bool = True,
+):
+    """Solve F(u, p) = 0 by inexact Newton–Krylov (reference semantics).
+
+    Arguments mirror ``newton_krylov!`` (src/Ariadne.jl:288-300): ``F`` is the
+    *pure* residual ``res = F(u, p)`` (the out-of-place form,
+    src/Ariadne.jl:245-248 — in JAX the in-place/out-of-place distinction
+    disappears), ``M``/``N`` are left/right preconditioner *factories* called
+    with the current :class:`JacobianOperator` each outer iteration, and
+    ``callback(u, res, n_res)`` fires after every residual evaluation.
+
+    Returns ``(u, NewtonInfo)``.
+    """
+    space = space or EuclideanSpace()
+    forcing = _resolve_forcing(forcing)
+    krylov_kwargs = dict(krylov_kwargs or {})
+
+    t0 = time.perf_counter()
+    res = F(u0, p)
+    n_res = float(space.norm(res))
+    if callback is not None:
+        callback(u0, res, n_res)
+
+    tol = tol_rel * n_res + tol_abs
+    eta = forcing.initial() if forcing is not None else None
+
+    if verbose > 0:
+        print(
+            f"[newton_krylov] algo={algo} res0={n_res:.6e} tol={tol:.3e} "
+            f"(rel={tol_rel} abs={tol_abs}) eta0={eta}"
+        )
+
+    host_factories = M is not None or N is not None
+
+    def step(u, eta_val, rtol_override):
+        """One Newton iteration: linearize, inner-solve, update."""
+        J = JacobianOperator(F, u, p)
+        kw = dict(krylov_kwargs)
+        kw["space"] = space
+        # The outer loop owns the absolute tolerance; a nonzero inner atol
+        # (Krylov.jl's √eps default) makes the inner solve exit with 0
+        # iterations (d = 0, Newton stall) once ‖F‖ is small — fatal in f32.
+        kw.setdefault("atol", 0.0)
+        if N is not None:
+            kw["N"] = N(J)
+        if M is not None:
+            kw["M"] = M(J)
+        if forcing is not None:
+            kw["rtol"] = rtol_override
+        result = solvers.solve(algo, J, J.res, **kw)
+        d = result.x
+        if linesearch == "armijo":
+            u_new, res_new, n_new = _armijo_step(
+                F, p, space, u, d, J.res, space.norm(J.res)
+            )
+        else:
+            u_new = tree_sub(u, d)  # s = 1 (src/Ariadne.jl:341-344)
+            res_new = F(u_new, p)
+            n_new = space.norm(res_new)
+        return u_new, res_new, n_new, result.niter
+
+    if jit_step and not host_factories:
+        step = jax.jit(step)
+
+    u = u0
+    stats = Stats(0, 0, n_res)
+    solved = n_res <= tol
+    while n_res > tol and stats.outer_iterations <= max_niter:
+        u, res, n_res_dev, niter = step(u, eta, eta if forcing is not None else None)
+        n_res_prior = n_res
+        n_res = float(n_res_dev)
+        niter = int(niter)
+        if callback is not None:
+            callback(u, res, n_res)
+
+        if not math.isfinite(n_res):
+            # src/Ariadne.jl:353-356
+            print(f"[newton_krylov] ERROR: inner solver blew up, stats={stats}")
+            break
+
+        if forcing is not None:
+            eta = forcing.host_update(eta, tol, n_res, n_res_prior)
+            if verbose > 0 and niter == 0:
+                print(f"[newton_krylov] inexact Newton accepted step with 0 inner iters, eta={eta}")
+
+        stats = Stats(stats.outer_iterations + 1, stats.inner_iterations + niter, n_res)
+        if verbose > 0:
+            print(f"[newton_krylov] outer={stats.outer_iterations} |F|={n_res:.6e} eta={eta} inner+={niter}")
+
+    t = time.perf_counter() - t0
+    return u, NewtonInfo(solved=n_res <= tol, stats=stats, t=t)
+
+
+class NewtonOptions(NamedTuple):
+    """Static configuration for the jitted driver."""
+
+    tol_rel: float = 1.0e-6
+    tol_abs: float = 1.0e-12
+    max_niter: int = 50
+    algo: str = "gmres"
+    linesearch: Optional[str] = None
+
+
+class _JitCarry(NamedTuple):
+    u: Any
+    n_res: Any
+    eta: Any
+    outer: Any
+    inner: Any
+    hist: Any
+    blown: Any
+
+
+def newton_krylov_jit(
+    F: Callable,
+    u0: Any,
+    p: Any = None,
+    *,
+    tol_rel: float = 1.0e-6,
+    tol_abs: float = 1.0e-12,
+    max_niter: int = 50,
+    forcing: Optional[Forcing] = EisenstatWalker(),
+    algo: str = "gmres",
+    M: Optional[Callable] = None,
+    N: Optional[Callable] = None,
+    krylov_kwargs: Optional[dict] = None,
+    linesearch: Optional[str] = None,
+    space: Optional[VectorSpace] = None,
+):
+    """Whole-solve-in-one-XLA-program Newton–Krylov.
+
+    Same mathematics as :func:`newton_krylov` but the outer loop is a
+    ``lax.while_loop``: suitable for jit/pjit/shard_map wrapping, scanning
+    over time steps, and the benchmark path.  ``M``/``N`` factories must be
+    jittable (e.g. :class:`~newtonkrylov_tpu.precond.NestedKrylov`); host-side
+    factories (ILU) need the Python driver.
+
+    Returns ``(u, NewtonInfo)`` where ``history`` is a ``(max_niter+2,)``
+    residual-norm trace padded with NaN — the jit-safe replacement for the
+    reference's per-iteration callback seam (src/Ariadne.jl:299-304).
+    """
+    space = space or EuclideanSpace()
+    forcing = _resolve_forcing(forcing)
+    krylov_kwargs = dict(krylov_kwargs or {})
+
+    res0 = F(u0, p)
+    n_res0 = space.norm(res0)
+    dtype = n_res0.dtype
+    tol = tol_rel * n_res0 + tol_abs
+    eta0 = jnp.asarray(forcing.initial() if forcing is not None else 0.0, dtype)
+
+    hist0 = jnp.full((max_niter + 2,), jnp.nan, dtype).at[0].set(n_res0)
+
+    def cond(c: _JitCarry):
+        return (c.n_res > tol) & (c.outer <= max_niter) & jnp.logical_not(c.blown)
+
+    def body(c: _JitCarry):
+        J = JacobianOperator(F, c.u, p)
+        kw = dict(krylov_kwargs)
+        kw["space"] = space
+        kw.setdefault("atol", 0.0)  # outer loop owns absolute tolerance
+        if N is not None:
+            kw["N"] = N(J)
+        if M is not None:
+            kw["M"] = M(J)
+        if forcing is not None:
+            kw["rtol"] = c.eta
+        result = solvers.solve(algo, J, J.res, **kw)
+        d = result.x
+
+        if linesearch == "armijo":
+            u_new, res_new, n_new = _armijo_step(F, p, space, c.u, d, J.res, c.n_res)
+        else:
+            u_new = tree_sub(c.u, d)
+            res_new = F(u_new, p)
+            n_new = space.norm(res_new)
+
+        blown = jnp.logical_not(jnp.isfinite(n_new))
+        eta_new = (
+            forcing(c.eta, tol, n_new, c.n_res) if forcing is not None else c.eta
+        )
+        hist = c.hist.at[c.outer + 1].set(n_new)
+        return _JitCarry(
+            u_new, n_new, eta_new, c.outer + 1, c.inner + result.niter, hist, blown
+        )
+
+    init = _JitCarry(
+        u0, n_res0, eta0,
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+        hist0, jnp.zeros((), bool),
+    )
+    fin = lax.while_loop(cond, body, init)
+
+    stats = Stats(fin.outer, fin.inner, fin.n_res)
+    info = NewtonInfo(
+        solved=(fin.n_res <= tol) & jnp.logical_not(fin.blown),
+        stats=stats,
+        t=jnp.zeros((), dtype),  # wall-clock is a host concept; time outside jit
+        history=fin.hist,
+    )
+    return fin.u, info

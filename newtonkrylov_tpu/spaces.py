@@ -1,0 +1,116 @@
+"""Vector spaces: where reductions (and therefore collectives) live.
+
+The reference's distribution seam is Krylov.jl's vector-primitive overrides:
+``kdot``/``knorm`` looping over the *interior* of a halo array
+(``examples/halovector.jl:51-74``) are exactly the points where a multi-device
+build inserts a global reduction, and ``kref!``/``kaxpy!`` are pure elementwise
+updates that need no communication.  This module makes that seam explicit:
+
+* :class:`EuclideanSpace` — dense pytree state, plain reductions.
+* :class:`MaskedSpace` — reductions weighted by a 0/1 interior mask, so ghost
+  cells never contribute (fixing the reference's interior off-by-one, where the
+  loops ``1:(mx-1)`` include the high ghost row — ``examples/halovector.jl:56-61``).
+* :class:`ShardedSpace` — a masked space whose scalar reductions are followed
+  by ``jax.lax.psum`` over mesh axes; used inside ``shard_map`` bodies where
+  every leaf is a local shard.
+
+Solvers take a ``space`` argument and perform *all* dots/norms through it;
+elementwise updates stay raw tree ops (no communication required).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .tree import tree_norm, tree_project_rows, tree_vdot
+
+__all__ = ["VectorSpace", "EuclideanSpace", "MaskedSpace", "ShardedSpace", "default_space"]
+
+
+class VectorSpace:
+    """Reduction protocol for solver inner products."""
+
+    def dot(self, x, y):
+        raise NotImplementedError
+
+    def norm(self, x):
+        return jnp.sqrt(self.dot(x, x).real)
+
+    def project_rows(self, V, w):
+        """<V[j], w> for all rows j of a stacked basis → (m,) vector."""
+        raise NotImplementedError
+
+    def mask_tree(self, x):
+        """Zero out entries that do not belong to the space (ghost cells)."""
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class EuclideanSpace(VectorSpace):
+    """Plain ℓ² space over all pytree entries."""
+
+    def dot(self, x, y):
+        return tree_vdot(x, y)
+
+    def norm(self, x):
+        return tree_norm(x)
+
+    def project_rows(self, V, w):
+        return tree_project_rows(V, w)
+
+
+@dataclasses.dataclass(frozen=True)
+class MaskedSpace(VectorSpace):
+    """Interior-masked ℓ² space.
+
+    ``mask`` is a pytree congruent with the state whose entries are 1 on the
+    interior and 0 on ghosts.  Reductions are mask-weighted, mirroring (and
+    correcting) the interior-only loops of ``examples/halovector.jl:51-74``.
+    """
+
+    mask: Any
+
+    def dot(self, x, y):
+        mx = jax.tree.map(lambda m, l: m * l, self.mask, x)
+        return tree_vdot(mx, y)
+
+    def project_rows(self, V, w):
+        mw = self.mask_tree(w)
+        return tree_project_rows(V, mw)
+
+    def mask_tree(self, x):
+        return jax.tree.map(lambda m, l: m * l, self.mask, x)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedSpace(VectorSpace):
+    """Masked space + psum over mesh axes: the distributed reduction point.
+
+    Use inside a ``shard_map`` body.  ``axis_names`` are the mesh axes the
+    state is sharded over; scalar reductions are all-reduced across them via
+    ICI collectives.  ``mask`` may be None (fully-interior local shards with
+    separate halo buffers) or a local interior mask.
+    """
+
+    axis_names: Sequence[str]
+    mask: Any = None
+
+    def _local(self):
+        return MaskedSpace(self.mask) if self.mask is not None else EuclideanSpace()
+
+    def dot(self, x, y):
+        return jax.lax.psum(self._local().dot(x, y), tuple(self.axis_names))
+
+    def project_rows(self, V, w):
+        return jax.lax.psum(self._local().project_rows(V, w), tuple(self.axis_names))
+
+    def mask_tree(self, x):
+        return self._local().mask_tree(x)
+
+
+def default_space() -> VectorSpace:
+    return EuclideanSpace()

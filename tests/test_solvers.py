@@ -1,0 +1,165 @@
+"""Krylov solver correctness: random SPD/general systems vs numpy.linalg.solve,
+preconditioning, restart, flexible GMRES, pytree states, termination semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonkrylov_tpu import bicgstab, cg, cgls, fgmres, gmres
+from newtonkrylov_tpu.solvers import available_algos, solve
+
+
+def random_system(n, seed=0, spd=False, dtype=jnp.float64):
+    rng = np.random.default_rng(seed)
+    A = rng.standard_normal((n, n))
+    if spd:
+        A = A @ A.T + n * np.eye(n)
+    else:
+        A = A + n * np.eye(n)  # well-conditioned, diagonally dominant-ish
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    return jnp.asarray(A, dtype), jnp.asarray(b, dtype), jnp.asarray(x_true, dtype)
+
+
+def test_gmres_dense_exact():
+    A, b, x_true = random_system(40, seed=1)
+    res = gmres(lambda v: A @ v, b, restart=40, rtol=1e-12, atol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-8)
+
+
+def test_gmres_restarted():
+    A, b, x_true = random_system(60, seed=2, spd=True)
+    res = gmres(lambda v: A @ v, b, restart=15, rtol=1e-10, atol=1e-12, itmax=600)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6)
+
+
+def test_gmres_rtol_termination():
+    """Stops at ‖r‖ ≤ atol + rtol·‖b‖, not earlier/later (inexact-Newton seam)."""
+    A, b, x_true = random_system(50, seed=3)
+    res = gmres(lambda v: A @ v, b, restart=50, rtol=1e-2, atol=0.0)
+    r = b - A @ res.x
+    assert float(jnp.linalg.norm(r)) <= 1e-2 * float(jnp.linalg.norm(b)) * (1 + 1e-10)
+    # loose tolerance must not oversolve to machine precision
+    assert int(res.niter) < 50
+
+
+def test_gmres_mgs_matches_cgs2():
+    A, b, _ = random_system(30, seed=4)
+    r1 = gmres(lambda v: A @ v, b, restart=30, rtol=1e-10, orth="cgs2")
+    r2 = gmres(lambda v: A @ v, b, restart=30, rtol=1e-10, orth="mgs")
+    assert abs(int(r1.niter) - int(r2.niter)) <= 1
+    np.testing.assert_allclose(r1.x, r2.x, rtol=1e-6)
+
+
+def test_gmres_left_preconditioner():
+    A, b, x_true = random_system(40, seed=5, spd=True)
+    Minv = jnp.linalg.inv(A)  # perfect preconditioner
+    res = gmres(lambda v: A @ v, b, M=lambda r: Minv @ r, restart=10, rtol=1e-10)
+    assert bool(res.converged)
+    assert int(res.niter) <= 2
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6)
+
+
+def test_gmres_right_preconditioner():
+    A, b, x_true = random_system(40, seed=6, spd=True)
+    Minv = jnp.linalg.inv(A)
+    res = gmres(lambda v: A @ v, b, N=lambda r: Minv @ r, restart=10, rtol=1e-10)
+    assert bool(res.converged)
+    assert int(res.niter) <= 2
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6)
+
+
+def test_fgmres_nested_krylov_preconditioner():
+    """FGMRES with an inner-GMRES preconditioner — the recipe of
+    examples/bratu.jl:141-157 / examples/bvp.jl:30-38."""
+    A, b, x_true = random_system(50, seed=7, spd=True)
+    Aop = lambda v: A @ v
+
+    def N(r):
+        return gmres(Aop, r, restart=5, itmax=5, rtol=1e-1).x
+
+    res = fgmres(Aop, b, N=N, restart=20, rtol=1e-10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-5)
+
+
+def test_cg_spd():
+    A, b, x_true = random_system(60, seed=8, spd=True)
+    res = cg(lambda v: A @ v, b, rtol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7)
+
+
+def test_cg_jacobi_preconditioner():
+    A, b, x_true = random_system(60, seed=9, spd=True)
+    d = jnp.diag(A)
+    res = cg(lambda v: A @ v, b, M=lambda r: r / d, rtol=1e-12)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-7)
+
+
+def test_bicgstab_general():
+    A, b, x_true = random_system(40, seed=10)
+    res = bicgstab(lambda v: A @ v, b, rtol=1e-10)
+    assert bool(res.converged)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-5)
+
+
+def test_cgls_least_squares():
+    rng = np.random.default_rng(11)
+    A = jnp.asarray(rng.standard_normal((50, 30)))
+    x_true = jnp.asarray(rng.standard_normal(30))
+    b = A @ x_true
+    res = cgls(lambda v: A @ v, b, At=lambda w: A.T @ w, rtol=1e-12)
+    np.testing.assert_allclose(res.x, x_true, rtol=1e-6)
+
+
+def test_pytree_state_gmres():
+    A, b, x_true = random_system(32, seed=12, spd=True)
+
+    def Aop(v):
+        flat = jnp.concatenate([v["p"], v["q"]])
+        out = A @ flat
+        return {"p": out[:16], "q": out[16:]}
+
+    bt = {"p": b[:16], "q": b[16:]}
+    res = gmres(Aop, bt, restart=32, rtol=1e-11)
+    assert bool(res.converged)
+    np.testing.assert_allclose(jnp.concatenate([res.x["p"], res.x["q"]]), x_true, rtol=1e-7)
+
+
+def test_zero_rhs_short_circuits():
+    A, _, _ = random_system(10, seed=13)
+    res = gmres(lambda v: A @ v, jnp.zeros(10))
+    assert bool(res.converged)
+    assert int(res.niter) == 0
+    np.testing.assert_allclose(res.x, jnp.zeros(10))
+
+
+def test_solvers_jittable():
+    A, b, x_true = random_system(24, seed=14, spd=True)
+
+    @jax.jit
+    def run(bb):
+        return gmres(lambda v: A @ v, bb, restart=24, rtol=1e-10).x
+
+    np.testing.assert_allclose(run(b), x_true, rtol=1e-6)
+
+    @jax.jit
+    def run_cg(bb):
+        return cg(lambda v: A @ v, bb, rtol=1e-10).x
+
+    np.testing.assert_allclose(run_cg(b), x_true, rtol=1e-6)
+
+
+def test_dispatch_menu():
+    # cf. algo symbols exercised by the reference (src/Ariadne.jl:295 & examples)
+    assert set(available_algos()) == {"gmres", "fgmres", "cg", "bicgstab", "cgls"}
+    A, b, x_true = random_system(20, seed=15, spd=True)
+    for algo in ["gmres", "fgmres", "cg", "bicgstab"]:
+        res = solve(algo, lambda v: A @ v, b, rtol=1e-10)
+        assert bool(res.converged), algo
+        np.testing.assert_allclose(res.x, x_true, rtol=1e-4, err_msg=algo)
