@@ -150,7 +150,11 @@ def newton_krylov(
             f"(rel={tol_rel} abs={tol_abs}) eta0={eta}"
         )
 
-    host_factories = M is not None or N is not None
+    # Host-side factories (e.g. precond.ilu0) cannot be traced into the jitted
+    # step; jittable factories (nested_krylov, jacobi, banded_direct) can.
+    host_factories = any(
+        getattr(f, "host_side", False) for f in (M, N) if f is not None
+    )
 
     def step(u, eta_val, rtol_override):
         """One Newton iteration: linearize, inner-solve, update."""

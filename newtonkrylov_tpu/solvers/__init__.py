@@ -41,6 +41,9 @@ def solve(algo: str, A, b, x0=None, **kwargs) -> KrylovResult:
 
     import inspect
 
-    accepted = set(inspect.signature(fn).parameters)
-    filtered = {k: v for k, v in kwargs.items() if k in accepted}
+    params = inspect.signature(fn).parameters
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        filtered = kwargs  # fn forwards **kwargs itself (e.g. fgmres → gmres)
+    else:
+        filtered = {k: v for k, v in kwargs.items() if k in params}
     return fn(A, b, x0, **filtered)

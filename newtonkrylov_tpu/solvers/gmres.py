@@ -212,7 +212,7 @@ def gmres(
     b,
     x0=None,
     *,
-    restart: int = 20,
+    restart: Optional[int] = 20,
     itmax: Optional[int] = None,
     atol: Optional[float] = None,
     rtol: Optional[float] = None,
@@ -230,6 +230,10 @@ def gmres(
     driver passes ``rtol = η`` per src/Ariadne.jl:330-333), or after ``itmax``
     total Arnoldi steps.  ``restart`` is the static per-cycle basis size —
     the TPU-native stand-in for Krylov.jl's dynamically growing workspace.
+    ``restart=None`` gives non-restarted (full) GMRES with basis size
+    ``itmax`` (Krylov.jl's default ``restart=false`` semantics — required on
+    ill-conditioned systems where restarted GMRES stagnates; costs
+    itmax×state memory up front since XLA needs static shapes).
     """
     Aop = as_operator(A)
     Mop = as_operator(M) if M is not None else None
@@ -243,9 +247,9 @@ def gmres(
     atol, rtol = default_tols(dtype, atol, rtol)
 
     n = tree_size(b)
-    m = min(restart, n)
     if itmax is None:
         itmax = 2 * n
+    m = min(restart, n) if restart is not None else min(itmax, n)
     max_cycles = max(1, -(-itmax // m))
 
     def residual(x):
