@@ -1,0 +1,214 @@
+"""Halo-exchange domain decomposition over a TPU device mesh.
+
+The reference's distribution story is a single-process *scaffold*: a
+``HaloVector`` with a ghost ring whose ghosts are filled by local BC
+functions (examples/halovector.jl:3-45, examples/heat_2D.jl:15-38), and
+interior-masked Krylov reductions marking where global all-reduces would go
+(examples/halovector.jl:51-74; SURVEY.md §2 "parallelism strategies").  This
+module is the real thing, TPU-native:
+
+* The global 2-D interior is sharded over a ``jax.sharding.Mesh``; each
+  device holds a local block.  Solvers run *inside* ``shard_map`` as one
+  SPMD program.
+* Ghost fills become ``lax.ppermute`` neighbor exchanges over ICI
+  (:func:`exchange_1d` / :func:`exchange_2d`); physical boundaries apply
+  Dirichlet/periodic values exactly as the reference's ``bc_zero!`` /
+  ``bc_periodic!`` did — but *communication* and *boundary condition* are now
+  cleanly separated.
+* All solver dot-products/norms go through
+  :class:`~newtonkrylov_tpu.spaces.ShardedSpace`, whose reductions ``psum``
+  over the mesh axes — the exact seam the reference marked with its
+  ``kdot``/``knorm`` overrides (and with the interior off-by-one fixed:
+  reductions here run over true interiors only).
+
+Entry points: :func:`sharded_residual_2d` wraps a padded-block residual into
+a shard_map-ready local residual; :func:`newton_krylov_sharded` runs the
+whole Newton–Krylov solve as one SPMD XLA program over the mesh.
+
+Multi-chip validation runs on a forced-host-device CPU mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``) and via the driver's
+``dryrun_multichip`` hook; the same code path targets real ICI on a pod
+slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .newton import newton_krylov_jit
+from .spaces import ShardedSpace
+
+__all__ = [
+    "make_mesh",
+    "exchange_1d",
+    "exchange_2d",
+    "sharded_residual_1d",
+    "sharded_residual_2d",
+    "newton_krylov_sharded",
+    "shard_array",
+]
+
+
+def make_mesh(shape: Sequence[int], axis_names: Sequence[str] = ("i", "j"), devices=None) -> Mesh:
+    """Build a mesh over the available devices (row-major)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = int(np.prod(shape))
+    if devices.size < n:
+        raise ValueError(f"need {n} devices for mesh {tuple(shape)}, have {devices.size}")
+    return Mesh(devices[:n].reshape(tuple(shape)), tuple(axis_names))
+
+
+def shard_array(x, mesh: Mesh, spec: P):
+    """Place a global array with the given partition spec."""
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def _neighbor_ghosts(edge_lo, edge_hi, axis_name: str, bc: str):
+    """Exchange the low/high edge slices with mesh neighbors along one axis.
+
+    Returns (ghost_lo, ghost_hi): the values to place *outside* the local
+    block — ghost_lo comes from the previous rank's high edge, ghost_hi from
+    the next rank's low edge.  Periodic wrap rides the ppermute ring; for
+    Dirichlet the outermost ranks overwrite their physical ghost with the BC
+    value (zero), mirroring bc_zero!/bc_periodic! (examples/heat_2D.jl:15-38).
+    """
+    p = lax.psum(1, axis_name)
+    idx = lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % p) for i in range(p)]
+    bwd = [(i, (i - 1) % p) for i in range(p)]
+    ghost_lo = lax.ppermute(edge_hi, axis_name, fwd)   # from rank idx-1's high edge
+    ghost_hi = lax.ppermute(edge_lo, axis_name, bwd)   # from rank idx+1's low edge
+    if bc == "dirichlet":
+        ghost_lo = jnp.where(idx == 0, jnp.zeros_like(ghost_lo), ghost_lo)
+        ghost_hi = jnp.where(idx == p - 1, jnp.zeros_like(ghost_hi), ghost_hi)
+    elif bc != "periodic":
+        raise ValueError(f"unknown bc {bc!r}")
+    return ghost_lo, ghost_hi
+
+
+def exchange_1d(u, axis_name: str, bc: str = "dirichlet"):
+    """Pad a local 1-D block with one ghost on each side via neighbor
+    exchange (the distributed ghost fill of examples/bratu_ka.jl's stencil)."""
+    ghost_lo, ghost_hi = _neighbor_ghosts(u[:1], u[-1:], axis_name, bc)
+    return jnp.concatenate([ghost_lo, u, ghost_hi])
+
+
+def exchange_2d(u, axis_names: Tuple[Optional[str], Optional[str]], bc: str = "dirichlet"):
+    """Pad a local 2-D block with a one-cell ghost ring.
+
+    ``axis_names`` gives the mesh axis sharding each array dimension (None =
+    dimension not sharded → ghosts are pure BC values).  Corners are filled
+    with zeros — 5-point stencils never read them (same property the
+    reference exploits, examples/heat_2D.jl:45-62).
+    """
+    ax0, ax1 = axis_names
+    nl, ml = u.shape
+    dtype = u.dtype
+
+    if ax0 is not None:
+        g_lo, g_hi = _neighbor_ghosts(u[:1, :], u[-1:, :], ax0, bc)
+    else:
+        if bc == "dirichlet":
+            g_lo = jnp.zeros((1, ml), dtype)
+            g_hi = jnp.zeros((1, ml), dtype)
+        else:
+            g_lo, g_hi = u[-1:, :], u[:1, :]
+    rows = jnp.concatenate([g_lo, u, g_hi], axis=0)
+
+    if ax1 is not None:
+        c_lo, c_hi = _neighbor_ghosts(u[:, :1], u[:, -1:], ax1, bc)
+    else:
+        if bc == "dirichlet":
+            c_lo = jnp.zeros((nl, 1), dtype)
+            c_hi = jnp.zeros((nl, 1), dtype)
+        else:
+            c_lo, c_hi = u[:, -1:], u[:, :1]
+    zeros1 = jnp.zeros((1, 1), dtype)
+    cols = jnp.concatenate(
+        [jnp.concatenate([zeros1, c_lo, zeros1], axis=0),
+         rows,
+         jnp.concatenate([zeros1, c_hi, zeros1], axis=0)],
+        axis=1,
+    )
+    # cols built by sandwiching: [ghost_col | rows | ghost_col]
+    return cols
+
+
+def sharded_residual_1d(padded_residual: Callable, axis_name: str, bc: str = "dirichlet") -> Callable:
+    """Lift ``padded_residual(u_padded, p) -> res_local`` into a shard_map
+    body: ghosts arrive by ICI exchange instead of jnp.pad."""
+
+    def F(u, p):
+        return padded_residual(exchange_1d(u, axis_name, bc), p)
+
+    return F
+
+
+def sharded_residual_2d(
+    padded_residual: Callable,
+    axis_names: Tuple[Optional[str], Optional[str]],
+    bc: str = "dirichlet",
+) -> Callable:
+    """Lift ``padded_residual(u_padded, p) -> res_local`` (e.g. a 5-point
+    stencil reading a (nl+2, ml+2) block) into a shard_map body."""
+
+    def F(u, p):
+        return padded_residual(exchange_2d(u, axis_names, bc), p)
+
+    return F
+
+
+def newton_krylov_sharded(
+    F_local: Callable,
+    u0,
+    p: Any,
+    mesh: Mesh,
+    in_spec: P,
+    *,
+    axis_names: Optional[Sequence[str]] = None,
+    newton_kwargs: Optional[dict] = None,
+):
+    """Run a full Newton–Krylov solve as one SPMD program over ``mesh``.
+
+    ``F_local`` is the per-device residual (build it with
+    :func:`sharded_residual_2d`); ``u0`` the global initial state, sharded by
+    ``in_spec``.  Every reduction inside the solver psums over
+    ``axis_names`` (default: all mesh axes) via
+    :class:`~newtonkrylov_tpu.spaces.ShardedSpace` — the TPU-native
+    realization of the reference's overridden ``kdot``/``knorm`` seam.
+
+    Returns ``(u, info)`` with ``u`` sharded like ``u0``.
+    """
+    axis_names = tuple(axis_names if axis_names is not None else mesh.axis_names)
+    newton_kwargs = dict(newton_kwargs or {})
+    space = ShardedSpace(axis_names=axis_names)
+
+    def local_solve(u0_local):
+        return newton_krylov_jit(F_local, u0_local, p, space=space, **newton_kwargs)
+
+    scalar_spec = P()  # stats/history are identical on all devices
+    wrapped = jax.shard_map(
+        local_solve,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=(in_spec, jax.tree.map(lambda _: scalar_spec, _info_structure())),
+        check_vma=False,
+    )
+    u0_sharded = shard_array(u0, mesh, in_spec)
+    return jax.jit(wrapped)(u0_sharded)
+
+
+def _info_structure():
+    """Pytree template matching NewtonInfo for out_specs construction."""
+    from .newton import NewtonInfo, Stats
+
+    return NewtonInfo(
+        solved=0, stats=Stats(0, 0, 0.0), t=0.0, history=0.0
+    )

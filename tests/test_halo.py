@@ -1,0 +1,142 @@
+"""Multi-device halo-exchange tests on the 8-virtual-CPU-device mesh — the
+fake-backend tier the reference lacks (SURVEY.md §4c).
+
+The key correctness property: a sharded solve must produce bit-comparable
+results (same solution, same iteration counts) to the single-device solve of
+the same global problem.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from newtonkrylov_tpu import newton_krylov_jit
+from newtonkrylov_tpu.halo import (
+    exchange_2d,
+    make_mesh,
+    newton_krylov_sharded,
+    shard_array,
+    sharded_residual_2d,
+)
+from newtonkrylov_tpu.problems import bratu2d
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 devices")
+
+
+def bratu2d_padded(up, p):
+    """Scaled 2-D Bratu residual reading a padded block (ghosts included)."""
+    u = up[1:-1, 1:-1]
+    stencil = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2] - 4.0 * u
+    return stencil + (p.dx * p.dx) * p.lam * jnp.exp(u)
+
+
+def test_exchange_2d_matches_pad():
+    """On a mesh, gathered exchange_2d ghosts equal the jnp.pad ghosts of the
+    global array (interior rows/cols; corners are unread)."""
+    mesh = make_mesh((2, 2), ("i", "j"))
+    n = 16
+    rng = np.random.default_rng(0)
+    u_global = jnp.asarray(rng.standard_normal((n, n)))
+
+    def body(u_local):
+        return exchange_2d(u_local, ("i", "j"), "dirichlet")
+
+    padded_local = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P("i", "j"),),
+            out_specs=P("i", "j"), check_vma=False,
+        )
+    )(shard_array(u_global, mesh, P("i", "j")))
+    # padded_local is (2*(8+2), 2*(8+2)) globally: pull each block and check
+    blocks = np.asarray(padded_local).reshape(2, 10, 2, 10).transpose(0, 2, 1, 3)
+    ref = np.asarray(jnp.pad(u_global, 1))
+    for bi in range(2):
+        for bj in range(2):
+            blk = blocks[bi, bj]
+            gref = ref[bi * 8 : bi * 8 + 10, bj * 8 : bj * 8 + 10]
+            # interior + edge ghosts must match; corners may differ (unread)
+            np.testing.assert_allclose(blk[1:-1, :], gref[1:-1, :], atol=1e-14)
+            np.testing.assert_allclose(blk[:, 1:-1], gref[:, 1:-1], atol=1e-14)
+
+
+def test_exchange_2d_periodic():
+    mesh = make_mesh((2, 2), ("i", "j"))
+    n = 8
+    u_global = jnp.arange(n * n, dtype=jnp.float64).reshape(n, n)
+
+    def body(u_local):
+        return exchange_2d(u_local, ("i", "j"), "periodic")
+
+    padded = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(P("i", "j"),),
+                      out_specs=P("i", "j"), check_vma=False)
+    )(shard_array(u_global, mesh, P("i", "j")))
+    blocks = np.asarray(padded).reshape(2, 6, 2, 6).transpose(0, 2, 1, 3)
+    ref = np.asarray(jnp.pad(u_global, 1, mode="wrap"))
+    for bi in range(2):
+        for bj in range(2):
+            blk = blocks[bi, bj]
+            gref = ref[bi * 4 : bi * 4 + 6, bj * 4 : bj * 4 + 6]
+            np.testing.assert_allclose(blk[1:-1, :], gref[1:-1, :], atol=1e-14)
+            np.testing.assert_allclose(blk[:, 1:-1], gref[:, 1:-1], atol=1e-14)
+
+
+def test_sharded_bratu2d_matches_single_device():
+    """The flagship parity check: sharded JFNK == single-device JFNK,
+    solution and iteration counts."""
+    n = 32
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n)
+
+    # single-device reference
+    u_ref, info_ref = newton_krylov_jit(bratu2d.residual_scaled, u0, p, algo="cg")
+    assert bool(info_ref.solved)
+
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(bratu2d_padded, ("i", "j"), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"), newton_kwargs={"algo": "cg"},
+    )
+    assert bool(info_sh.solved)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
+    assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+    assert int(info_sh.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
+
+
+def test_sharded_gmres_path():
+    """GMRES (stacked-basis) also runs under shard_map with psum reductions."""
+    n = 16
+    p = bratu2d.default_config(n, lam=4.0)
+    u0 = bratu2d.initial_guess(n)
+    u_ref, info_ref = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="gmres",
+        krylov_kwargs={"restart": 40},
+    )
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(bratu2d_padded, ("i", "j"), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs={"algo": "gmres", "krylov_kwargs": {"restart": 40}},
+    )
+    assert bool(info_sh.solved)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-8)
+    assert int(info_sh.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
+
+
+def test_1d_row_sharding_8way():
+    """8-way 1-D decomposition (rows) of the 2-D problem."""
+    n = 64
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n)
+    u_ref, info_ref = newton_krylov_jit(bratu2d.residual_scaled, u0, p, algo="cg")
+
+    mesh = make_mesh((8,), ("i",))
+    F_local = sharded_residual_2d(bratu2d_padded, ("i", None), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", None), newton_kwargs={"algo": "cg"},
+    )
+    assert bool(info_sh.solved)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
+    assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
