@@ -5,13 +5,16 @@ Prints ONE JSON line:
    "vs_baseline": F}
 
 The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
-fraction of the single-chip speed-of-light implied by HBM bandwidth: one
-linearized stencil-JVP touches ~12 B/point (read tangent, read cached
-d(λΔx²eᵘ), write output; neighbor reads hit VMEM/cache), and a v5e chip
-streams ~819 GB/s.  vs_baseline = achieved / (BW / 12·N).
+fraction of the *measured* streaming speed-of-light: a pure 3-array
+elementwise loop at the same footprint calibrates the best rate this
+deployment achieves (the tunnel-attached chip outruns nominal v5e specs and
+block_until_ready does not block through the tunnel, so every timed program
+returns a 4-byte scalar synced with float(), and fixed dispatch overhead is
+cancelled by differencing two chain lengths).
 
-Secondary numbers (full JFNK solve wall-clock, per-iteration cost) go to
-stderr.
+Secondary numbers to stderr: per-path matvec timings (XLA pad-based vs fused
+Pallas) and the flagship mixed-precision solve — 2-D Bratu to
+‖F‖ ≤ 1e-8·‖F₀‖ via iterative refinement (f64 state/residual, f32 Krylov).
 """
 
 import json
@@ -19,21 +22,54 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_enable_x64", True)  # for the refined-solve benchmark
+
+import functools
+
 import jax.numpy as jnp
 from jax import lax
 
 from newtonkrylov_tpu import newton_krylov_jit
+from newtonkrylov_tpu.kernels import stencil2d as K
 from newtonkrylov_tpu.problems import bratu2d
 
 N = 2048
 LAM = 5.0
-CHAIN = 200          # matvecs per timed program
-REPEATS = 5
-
+CHAIN = 2000
+REPEATS = 4
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def time_chain(fn, a, b, k_s=CHAIN // 10, k_l=CHAIN):
+    """matvecs/s of x ← fn(x, b), overhead cancelled by chain-length diff."""
+
+    def chain(k):
+        @jax.jit
+        def f(a, b):
+            out = lax.fori_loop(0, k, lambda i, x: fn(x, b) * 0.125, a)
+            return jnp.sum(out)
+
+        return f
+
+    fs, fl = chain(k_s), chain(k_l)
+    float(fs(a, b))
+    float(fl(a, b))
+
+    def best(f):
+        ts = []
+        for r in range(REPEATS):
+            aa = a * (1.0 + 1e-4 * (r + 1))  # vary input → no dedupe
+            t0 = time.perf_counter()
+            float(f(aa, b))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = best(fl) - best(fs)
+    return (k_l - k_s) / max(dt, 1e-9)
 
 
 def main():
@@ -43,95 +79,48 @@ def main():
     p = bratu2d.default_config(N, lam=LAM)
     u0 = bratu2d.initial_guess(N, dtype=jnp.float32)
 
-    # --- Jv matvec throughput on the linearized residual -------------------
-    #
-    # Timing discipline for the remote-attached chip: block_until_ready does
-    # not actually block through the tunnel and eager ops are expensive, so
-    # every timed program returns a 4-byte scalar that is materialized with
-    # float() as the sync point, and the fixed dispatch/transfer overhead is
-    # cancelled by differencing two chain lengths.
-    def make_chain(k):
-        @jax.jit
-        def chain(u, v):
-            _, jvp = jax.linearize(lambda uu: bratu2d.residual_scaled(uu, p), u)
+    # --- path 1: XLA pad-based linearized JVP ------------------------------
+    _, jvp = jax.linearize(lambda uu: bratu2d.residual_scaled(uu, p), u0)
+    r_xla = time_chain(lambda x, b: jvp(x), u0, u0)
+    log(f"xla pad-based jvp: {1e6/r_xla:.2f} us/matvec ({r_xla:.0f}/s)")
 
-            def body(i, v):
-                return jvp(v) * 0.125  # keep magnitudes bounded
+    # --- path 2: fused Pallas kernel on the aligned ghost layout -----------
+    va = K.aligned_wrap(u0)
+    scale = p.dx * p.dx * p.lam
+    wa = scale * jnp.exp(va) * K.aligned_mask(N, va.dtype)
+    pal = functools.partial(K.stencil_jvp_pallas, n=N)
+    r_pal = time_chain(lambda x, b: pal(x, b), va, wa)
+    log(f"pallas fused jvp:  {1e6/r_pal:.2f} us/matvec ({r_pal:.0f}/s)")
 
-            out = lax.fori_loop(0, k, body, v)
-            return jnp.sum(out)
+    matvecs_per_s = max(r_xla, r_pal)
 
-        return chain
-
-    short, long_ = CHAIN // 10, CHAIN
-    chain_s, chain_l = make_chain(short), make_chain(long_)
-    v0 = jnp.ones_like(u0)
-    float(chain_s(u0, v0))  # compile
-    float(chain_l(u0, v0))  # compile
-
-    def best_time(fn, a, b, reps=REPEATS):
-        best = float("inf")
-        for r in range(reps):
-            bv = b * (1.0 + 1e-4 * (r + 1))  # vary input → no dedupe
-            t0 = time.perf_counter()
-            float(fn(a, bv))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t_short = best_time(chain_s, u0, v0)
-    t_long = best_time(chain_l, u0, v0)
-    matvecs_per_s = (long_ - short) / max(t_long - t_short, 1e-9)
-    log(f"t({short} matvecs)={t_short:.3f}s t({long_})={t_long:.3f}s")
-
-    # --- empirical stream roofline ----------------------------------------
-    # A pure 3-array elementwise loop (read a, read b, write a) measures the
-    # best streaming rate this deployment actually achieves at this footprint
-    # — the honest speed-of-light for a memory-bound stencil JVP, measured
-    # rather than assumed (the tunnel-attached chip outruns nominal specs).
-    def make_axpy(k):
-        @jax.jit
-        def f(a, b):
-            def body(i, a):
-                return a * 0.99999 + b
-
-            return jnp.sum(lax.fori_loop(0, k, body, a))
-
-        return f
-
-    ax_s, ax_l = make_axpy(short), make_axpy(long_)
-    float(ax_s(v0, u0)); float(ax_l(v0, u0))
-    ta_s = best_time(ax_s, v0, u0)
-    ta_l = best_time(ax_l, v0, u0)
-    axpys_per_s = (long_ - short) / max(ta_l - ta_s, 1e-9)
-    log(f"stream axpy: {1e6/axpys_per_s:.2f} us/iter ({axpys_per_s:.0f}/s)")
-
-    # Both loops move 3 arrays per iteration, so the ratio of rates is the
-    # fraction of measured speed-of-light the fused stencil-JVP achieves.
-    sol = axpys_per_s
+    # --- empirical stream roofline (3-array traffic, same footprint) ------
+    sol = time_chain(lambda x, b: x * 0.99999 + b, va, wa)
     frac = matvecs_per_s / sol
-    log(f"Jv matvec: {1e6/matvecs_per_s:.2f} us/matvec on {N}x{N}, "
-        f"{matvecs_per_s:.1f} matvec/s (measured SoL {sol:.1f}, {100*frac:.1f}%)")
+    log(f"stream axpy SoL: {1e6/sol:.2f} us/iter; best jvp at {100*frac:.1f}% of SoL")
 
-    # --- full JFNK solve ---------------------------------------------------
+    # --- flagship solve: ||F|| <= 1e-8 by iterative refinement -------------
+    ns = 1024
+    u0a, ps, space = bratu2d.aligned_setup(ns, lam=LAM, dtype=jnp.float64)
+
     @jax.jit
-    def solve(u0):
+    def solve(u0a):
         u, info = newton_krylov_jit(
-            bratu2d.residual_scaled, u0, p,
-            algo="cg", tol_rel=1e-3, max_niter=30,   # f32-reachable tolerance
+            lambda u, pp: bratu2d.residual_scaled_aligned(u, pp), u0a, ps,
+            algo="cg", tol_rel=1e-8, space=space, krylov_dtype=jnp.float32,
+            max_niter=20,
         )
         return jnp.sum(u), info.solved, info.stats.outer_iterations, info.stats.inner_iterations
 
-    float(solve(u0)[0])  # compile + run
-    # vary the input so the run cannot be deduped against the warmup
-    u0b = u0 * (1.0 + 1e-4)
+    float(solve(u0a)[0])  # compile
     t0 = time.perf_counter()
-    s, solved, outer, inner = solve(u0b)
+    s, solved, outer, inner = solve(u0a * (1.0 + 1e-6))
     float(s)
     t_solve = time.perf_counter() - t0
-    solved, outer, inner = bool(solved), int(outer), int(inner)
-    log(f"JFNK solve {N}x{N}: solved={solved} outer={outer} "
-        f"inner={inner} wall={t_solve:.3f}s "
-        f"({t_solve/max(inner,1)*1e3:.2f} ms/inner-iter)")
+    log(
+        f"JFNK refined solve {ns}x{ns} to 1e-8: solved={bool(solved)} "
+        f"outer={int(outer)} inner={int(inner)} wall={t_solve:.3f}s"
+    )
 
     print(json.dumps({
         "metric": "bratu2d_jv_matvecs_per_s_chip",

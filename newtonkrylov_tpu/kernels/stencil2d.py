@@ -1,0 +1,255 @@
+"""Fused 2-D stencil-JVP Pallas kernel (the JFNK hot matvec).
+
+Inside the Krylov loop every iteration applies the linearized residual
+
+    (J v)[i,j] = v[i±1,j] + v[i,j±1] − 4 v[i,j] + w[i,j]·v[i,j]
+
+with ``w = Δx²λeᵘ`` frozen at the Newton linearization point (the 2-D Bratu
+operator; heat/diffusion is the w=const case).  This is the TPU-native
+replacement for the reference's KernelAbstractions stencil kernel
+(examples/bratu_ka.jl:13-28) *composed with* its per-matvec Enzyme forward
+sweep (src/Ariadne.jl:48-57) — here the two are one fused, bandwidth-bound
+kernel.
+
+Layout — the DMA-aligned ghost layout (Mosaic requires HBM slice offsets and
+shapes to be multiples of the (8, 128) tile):
+
+* arrays are ``(R, C)`` with ``R = n + 8`` (n % 8 == 0) and
+  ``C = round_up(n + 2, 128)``;
+* interior row i lives at array row i (i ∈ [0, n)); rows [n, n+8) are a zero
+  bottom apron read as ghosts;
+* interior col j lives at array col j+1; col 0 and cols [n+1, C) are zero
+  ghosts.
+
+The top ghost row is implicit (zeros scratch); vertical neighbors across row
+tiles come from a carried previous-row scratch and a small prefetched
+(8, C) look-ahead block, so every DMA is tile-aligned and the pipeline stays
+double-buffered (pallas_guide.md pattern).  This is the functional analogue
+of the reference's HaloVector ghost storage (examples/halovector.jl:3-45);
+reductions over these arrays use
+:class:`~newtonkrylov_tpu.spaces.MaskedSpace`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "round_up",
+    "aligned_wrap",
+    "aligned_interior",
+    "aligned_mask",
+    "stencil_jvp_xla",
+    "stencil_jvp_pallas",
+    "bratu_residual_pallas",
+]
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dims(n: int):
+    assert n % 8 == 0, "interior size must be a multiple of 8"
+    return n + 8, round_up(n + 2, 128)
+
+
+def aligned_wrap(u_interior):
+    """Embed an (n, n) interior into the DMA-aligned ghost layout."""
+    n = u_interior.shape[0]
+    R, C = _dims(n)
+    out = jnp.zeros((R, C), u_interior.dtype)
+    return out.at[0:n, 1 : n + 1].set(u_interior)
+
+
+def aligned_interior(u, n: int):
+    return u[0:n, 1 : n + 1]
+
+
+def aligned_mask(n: int, dtype=jnp.float32):
+    """0/1 interior mask for MaskedSpace reductions."""
+    R, C = _dims(n)
+    rows = lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    return ((rows < n) & (cols >= 1) & (cols <= n)).astype(dtype)
+
+
+def stencil_jvp_xla(v, w, n: int):
+    """Same-layout pure-XLA fused stencil-JVP (baseline / CPU path).
+
+    Row shifts via jnp.roll (array rows [n, n+8) are zeros, so the wrap of
+    roll brings zeros to row 0 — exactly the Dirichlet top ghost — provided
+    the apron stays zero, which reductions/masking maintain).
+    """
+    up = jnp.roll(v, 1, axis=0)      # row i-1 (row 0 gets apron zeros)
+    dn = jnp.roll(v, -1, axis=0)     # row i+1 (row n-1 gets apron row n = 0)
+    left = jnp.roll(v, 1, axis=1)
+    right = jnp.roll(v, -1, axis=1)
+    out = up + dn + left + right - 4.0 * v + w * v
+    mask = aligned_mask(n, v.dtype)
+    return out * mask
+
+
+def _stencil_kernel(v_hbm, w_hbm, out_hbm, vbuf, wbuf, nfbuf, obuf, prev_row, vsem,
+                    wsem, nfsem, osem, *, T, C, n, nonlinear, scale):
+    """Row-tiled fused stencil apply; tile g covers rows [g·T, g·T+T).
+
+    ``nonlinear=False``: out = lap(v) + w·v      (JVP apply)
+    ``nonlinear=True``:  out = lap(v) + scale·exp(v)  (Bratu residual; w unused)
+    """
+    g = pl.program_id(0)
+    ntiles = pl.num_programs(0)
+    two = jnp.asarray(2, g.dtype)  # x64 mode must not upcast the literal
+    slot = lax.rem(g, two)
+    nxt = lax.rem(g + 1, two)
+
+    def _i32(x):
+        return jnp.asarray(x, jnp.int32)  # x64 mode makes Python ints i64
+
+    def v_dma(gi, sl):
+        gi, sl = _i32(gi), _i32(sl)
+        return pltpu.make_async_copy(v_hbm.at[pl.ds(gi * T, T), :], vbuf.at[sl], vsem.at[sl])
+
+    def w_dma(gi, sl):
+        gi, sl = _i32(gi), _i32(sl)
+        return pltpu.make_async_copy(w_hbm.at[pl.ds(gi * T, T), :], wbuf.at[sl], wsem.at[sl])
+
+    def nf_dma(gi, sl):
+        gi, sl = _i32(gi), _i32(sl)
+        # first 8 rows of the NEXT tile (or the zero apron for the last tile)
+        return pltpu.make_async_copy(
+            v_hbm.at[pl.ds((gi + 1) * T, 8), :], nfbuf.at[sl], nfsem.at[sl]
+        )
+
+    @pl.when(g == 0)
+    def _():
+        v_dma(0, 0).start()
+        if not nonlinear:
+            w_dma(0, 0).start()
+        nf_dma(0, 0).start()
+        prev_row[:] = jnp.zeros_like(prev_row)  # Dirichlet top ghost
+
+    @pl.when(g + 1 < ntiles)
+    def _():
+        v_dma(g + 1, nxt).start()
+        if not nonlinear:
+            w_dma(g + 1, nxt).start()
+        nf_dma(g + 1, nxt).start()
+
+    v_dma(g, slot).wait()
+    if not nonlinear:
+        w_dma(g, slot).wait()
+    nf_dma(g, slot).wait()
+
+    vm = vbuf[slot]                  # (T, C)
+    rows = lax.broadcasted_iota(jnp.int32, (T, C), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (T, C), 1)
+
+    one = jnp.asarray(1, jnp.int32)  # roll shift must be i32 even under x64
+    up = pltpu.roll(vm, shift=one, axis=0)
+    up = jnp.where(rows == 0, prev_row[0][None, :], up)
+    dn = pltpu.roll(vm, shift=jnp.asarray(T - 1, jnp.int32), axis=0)
+    dn = jnp.where(rows == T - 1, nfbuf[slot][0][None, :], dn)
+    left = pltpu.roll(vm, shift=one, axis=1)
+    right = pltpu.roll(vm, shift=jnp.asarray(C - 1, jnp.int32), axis=1)
+
+    colmask = ((cols >= 1) & (cols <= n)).astype(vm.dtype)
+    lap = up + dn + left + right - 4.0 * vm
+    if nonlinear:
+        expr = lap + scale * jnp.exp(vm)
+    else:
+        expr = lap + wbuf[slot] * vm
+
+    def o_dma(gi, sl):
+        gi, sl = _i32(gi), _i32(sl)
+        return pltpu.make_async_copy(
+            obuf.at[sl], out_hbm.at[pl.ds(gi * T, T), :], osem.at[sl]
+        )
+
+    # Output is double-buffered with deferred waits: before reusing slot s we
+    # drain the copy issued two steps ago; the last step drains everything.
+    @pl.when(g >= 2)
+    def _():
+        o_dma(g - 2, slot).wait()
+
+    obuf[slot] = expr * colmask
+    prev_row[:] = vm[T - 1 : T, :]
+    o_dma(g, slot).start()
+
+    @pl.when(g == ntiles - 1)
+    def _():
+        @pl.when(g >= 1)
+        def _():
+            o_dma(g - 1, nxt).wait()
+        o_dma(g, slot).wait()
+
+
+def _interpret_default() -> bool:
+    """Run Pallas in interpreter mode off-TPU (CPU tests, debugging)."""
+    return jax.default_backend() != "tpu"
+
+
+def _call_stencil(v, w, n, T, nonlinear, scale):
+    R, C = v.shape
+    assert R == n + 8 and C % 128 == 0, "use aligned_wrap layout"
+    # VMEM budget: 6 T-row buffers (v/w/out ×2) + small scratch ≤ ~13 MB.
+    itemsize = jnp.dtype(v.dtype).itemsize
+    t_budget = (13 * 2**20) // (6 * C * itemsize)
+    T = min(T, n, max(8, int(t_budget)))
+    while n % T:
+        T //= 2
+    ntiles = n // T
+
+    kernel = functools.partial(
+        _stencil_kernel, T=T, C=C, n=n, nonlinear=nonlinear, scale=scale
+    )
+    dtype = v.dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((R, C), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, T, C), dtype),        # v tiles
+            pltpu.VMEM((2, T, C), dtype),        # w tiles
+            pltpu.VMEM((2, 8, C), dtype),        # next-tile look-ahead rows
+            pltpu.VMEM((2, T, C), dtype),        # output tiles (double-buffered)
+            pltpu.VMEM((1, C), dtype),           # previous tile's last row
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=_interpret_default(),
+    )(v, w)
+    # The bottom apron rows [n, n+8) were never written; they must be zero for
+    # the layout invariant.  Zero-fill via one tiny aligned DMA-equivalent op.
+    apron = jnp.zeros((8, C), dtype)
+    return lax.dynamic_update_slice(out, apron, (n, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "T"))
+def stencil_jvp_pallas(v, w, n: int, T: int = 256):
+    """out = lap(v) + w·v on the aligned ghost layout (fused, pipelined)."""
+    return _call_stencil(v, w, n, T, nonlinear=False, scale=0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "scale", "T"))
+def bratu_residual_pallas(u, n: int, scale: float, T: int = 256):
+    """Bratu residual lap(u) + scale·eᵘ on the aligned ghost layout.
+
+    Note: exp is evaluated over the whole tile including ghost columns and
+    masked after — the mask also zeroes the spurious scale·e⁰ on ghosts.
+    """
+    return _call_stencil(u, u, n, T, nonlinear=True, scale=scale)

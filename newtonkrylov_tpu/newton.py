@@ -250,6 +250,8 @@ def newton_krylov_jit(
     krylov_kwargs: Optional[dict] = None,
     linesearch: Optional[str] = None,
     space: Optional[VectorSpace] = None,
+    residual_dtype=None,
+    krylov_dtype=None,
 ):
     """Whole-solve-in-one-XLA-program Newton–Krylov.
 
@@ -262,13 +264,34 @@ def newton_krylov_jit(
     Returns ``(u, NewtonInfo)`` where ``history`` is a ``(max_niter+2,)``
     residual-norm trace padded with NaN — the jit-safe replacement for the
     reference's per-iteration callback seam (src/Ariadne.jl:299-304).
+
+    Mixed precision (the TPU answer to fine-stencil f32 floors):
+
+    * ``residual_dtype``: evaluate the *outer-loop* residual norm in a higher
+      dtype (typically ``jnp.float64``, software-emulated on TPU) while state
+      and inner loop stay in the state dtype.  Removes the residual
+      *evaluation* floor; the state representation floor remains.
+    * ``krylov_dtype``: full iterative refinement — keep the state (and
+      outer residual) in the state dtype (pass ``u0`` in f64) but run the
+      linearization and the whole Krylov inner loop in ``krylov_dtype``
+      (f32/bf16 on the VPU/MXU).  One high-precision residual per outer
+      iteration + cheap low-precision inner matvecs: converges to
+      state-dtype floors at near-f32 speed.
     """
     space = space or EuclideanSpace()
     forcing = _resolve_forcing(forcing)
     krylov_kwargs = dict(krylov_kwargs or {})
 
+    if residual_dtype is not None:
+        def outer_norm(u):
+            uh = jax.tree.map(lambda l: l.astype(residual_dtype), u)
+            return space.norm(F(uh, p))
+    else:
+        def outer_norm(u):
+            return space.norm(F(u, p))
+
     res0 = F(u0, p)
-    n_res0 = space.norm(res0)
+    n_res0 = outer_norm(u0)
     dtype = n_res0.dtype
     tol = tol_rel * n_res0 + tol_abs
     eta0 = jnp.asarray(forcing.initial() if forcing is not None else 0.0, dtype)
@@ -279,7 +302,15 @@ def newton_krylov_jit(
         return (c.n_res > tol) & (c.outer <= max_niter) & jnp.logical_not(c.blown)
 
     def body(c: _JitCarry):
-        J = JacobianOperator(F, c.u, p)
+        if krylov_dtype is not None:
+            # Iterative refinement: linearize + inner-solve in low precision,
+            # RHS = high-precision residual cast down, update in state dtype.
+            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u)
+            J = JacobianOperator(F, u_low, p)
+            b = jax.tree.map(lambda l: l.astype(krylov_dtype), F(c.u, p))
+        else:
+            J = JacobianOperator(F, c.u, p)
+            b = J.res
         kw = dict(krylov_kwargs)
         kw["space"] = space
         kw.setdefault("atol", 0.0)  # outer loop owns absolute tolerance
@@ -288,16 +319,21 @@ def newton_krylov_jit(
         if M is not None:
             kw["M"] = M(J)
         if forcing is not None:
-            kw["rtol"] = c.eta
-        result = solvers.solve(algo, J, J.res, **kw)
-        d = result.x
+            kw["rtol"] = c.eta.astype(jnp.result_type(*[l.dtype for l in jax.tree.leaves(b)]))
+        result = solvers.solve(algo, J, b, **kw)
+        if krylov_dtype is not None:
+            state_dt = jnp.result_type(*[l.dtype for l in jax.tree.leaves(c.u)])
+            d = jax.tree.map(lambda l: l.astype(state_dt), result.x)
+        else:
+            d = result.x
 
         if linesearch == "armijo":
             u_new, res_new, n_new = _armijo_step(F, p, space, c.u, d, J.res, c.n_res)
+            if residual_dtype is not None:
+                n_new = outer_norm(u_new)
         else:
             u_new = tree_sub(c.u, d)
-            res_new = F(u_new, p)
-            n_new = space.norm(res_new)
+            n_new = outer_norm(u_new)
 
         blown = jnp.logical_not(jnp.isfinite(n_new))
         eta_new = (

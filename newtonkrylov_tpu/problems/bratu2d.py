@@ -19,11 +19,21 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.stencil import laplacian_2d, pad_dirichlet
 
-__all__ = ["Params", "default_config", "residual", "residual_scaled", "initial_guess", "grid"]
+__all__ = [
+    "Params",
+    "default_config",
+    "residual",
+    "residual_scaled",
+    "residual_scaled_aligned",
+    "aligned_setup",
+    "initial_guess",
+    "grid",
+]
 
 N_DEFAULT = 256
 LAMBDA_DEFAULT = 6.0
@@ -60,3 +70,53 @@ def residual_scaled(u, p: Params):
     up = pad_dirichlet(u)
     stencil = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2] - 4.0 * u
     return stencil + (p.dx * p.dx) * p.lam * jnp.exp(u)
+
+
+def residual_scaled_aligned(u, p: Params):
+    """Δx²-scaled residual on the DMA-aligned ghost layout (see
+    kernels/stencil2d.py) with a custom-JVP that dispatches the Krylov hot
+    matvec to the fused stencil kernel.
+
+    State is the (n+8, round_up(n+2,128)) ghost array; pair with
+    ``MaskedSpace(aligned_mask(n))`` so reductions see only the interior.
+    """
+    from ..kernels import stencil2d as k
+
+    n = u.shape[0] - 8
+    scale = p.dx * p.dx * p.lam
+
+    @jax.custom_jvp
+    def F(u):
+        mask = k.aligned_mask(n, u.dtype)
+        up = jnp.roll(u, 1, axis=0)
+        dn = jnp.roll(u, -1, axis=0)
+        left = jnp.roll(u, 1, axis=1)
+        right = jnp.roll(u, -1, axis=1)
+        lap = up + dn + left + right - 4.0 * u
+        return (lap + scale * jnp.exp(u)) * mask
+
+    @F.defjvp
+    def F_jvp(primals, tangents):
+        (uu,) = primals
+        (v,) = tangents
+        y = F(uu)
+        mask = k.aligned_mask(n, uu.dtype)
+        w = scale * jnp.exp(uu) * mask  # zero on ghosts, as the kernel requires
+        return y, k.stencil_jvp_pallas(v, w, n)
+
+    return F(u)
+
+
+def aligned_setup(n: int = N_DEFAULT, lam: float = LAMBDA_DEFAULT, dtype=jnp.float32):
+    """(u0_aligned, params, space) for the Pallas fast path.
+
+    The returned :class:`~newtonkrylov_tpu.spaces.MaskedSpace` restricts all
+    solver reductions to the interior of the ghost-carrying layout.
+    """
+    from ..kernels import stencil2d as k
+    from ..spaces import MaskedSpace
+
+    p = default_config(n, lam)
+    u0 = k.aligned_wrap(initial_guess(n, dtype))
+    space = MaskedSpace(k.aligned_mask(n, jnp.dtype(dtype)))
+    return u0, p, space

@@ -75,7 +75,7 @@ class MaskedSpace(VectorSpace):
     mask: Any
 
     def dot(self, x, y):
-        mx = jax.tree.map(lambda m, l: m * l, self.mask, x)
+        mx = self.mask_tree(x)
         return tree_vdot(mx, y)
 
     def project_rows(self, V, w):
@@ -83,7 +83,9 @@ class MaskedSpace(VectorSpace):
         return tree_project_rows(V, mw)
 
     def mask_tree(self, x):
-        return jax.tree.map(lambda m, l: m * l, self.mask, x)
+        # cast the mask, not the operand: mixed-precision solves run f32
+        # Krylov vectors against an f64-state mask
+        return jax.tree.map(lambda m, l: m.astype(l.dtype) * l, self.mask, x)
 
 
 @dataclasses.dataclass(frozen=True)
