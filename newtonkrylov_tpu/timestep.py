@@ -153,6 +153,9 @@ def integrate(
     tol_abs: float = 6.0e-6,
     newton_kwargs: Optional[dict] = None,
     verbose: int = 0,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: bool = False,
 ) -> MarchResult:
     """Fixed-step implicit time marching (host loop).
 
@@ -162,6 +165,11 @@ def integrate(
     a ``callback(u)`` fired after every accepted step.
 
     ``stepper`` is one of the builders above (or a string key of STEPPERS).
+
+    Checkpoint/resume (absent in the reference — SURVEY.md §5): with
+    ``checkpoint_dir`` set and ``checkpoint_every > 0`` a snapshot of
+    ``(u, t, step)`` is written every that-many steps; ``resume=True``
+    restarts the march from the latest snapshot in the directory.
     """
     if isinstance(stepper, str):
         stepper = STEPPERS[stepper]
@@ -190,12 +198,24 @@ def integrate(
     n_steps = int(round((t_final - t0) / dt))
     u = u0
     un = u0
-    hist = [u0] if save_history else None
-    ts = [t0]
+    start_step = 0
+    if resume and checkpoint_dir:
+        from .utils.checkpointing import latest_checkpoint, load_checkpoint
+
+        latest = latest_checkpoint(checkpoint_dir)
+        if latest is not None:
+            ck = load_checkpoint(latest, u0)
+            un = u = ck.u
+            start_step = ck.step
+            if verbose > 0:
+                print(f"[integrate] resumed from {latest} (step {start_step}, t={ck.t})")
+
+    hist = [un] if save_history else None
+    ts = [t0 + start_step * dt]
     n_failed = 0
     outers, inners = [], []
 
-    for k in range(1, n_steps + 1):
+    for k in range(start_step + 1, n_steps + 1):
         t = t0 + k * dt
         if host_only:
             sp = StepParams(un=un, dt=dt, p=p, t=t)
@@ -213,6 +233,13 @@ def integrate(
         outers.append(int(info.stats.outer_iterations))
         inners.append(int(info.stats.inner_iterations))
         un = u
+        if checkpoint_dir and checkpoint_every and k % checkpoint_every == 0:
+            from .utils.checkpointing import MarchCheckpoint, save_checkpoint
+
+            save_checkpoint(
+                f"{checkpoint_dir}/march_{k}",
+                MarchCheckpoint(u=u, t=t, step=k, extra={"dt": dt}),
+            )
 
     history = jax.tree.map(lambda *ls: jnp.stack(ls), *hist) if save_history else None
     return MarchResult(

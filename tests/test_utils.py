@@ -1,0 +1,79 @@
+"""Auxiliary subsystems: checkpoint/resume, profiling timers, solve reports."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from newtonkrylov_tpu.problems import spring
+from newtonkrylov_tpu.timestep import integrate
+from newtonkrylov_tpu.utils.checkpointing import (
+    MarchCheckpoint,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from newtonkrylov_tpu.utils.profiling import PhaseTimer, solve_report
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    u = {"a": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    path = save_checkpoint(
+        str(tmp_path / "march_10"), MarchCheckpoint(u=u, t=1.5, step=10, extra={"dt": 0.1})
+    )
+    ck = load_checkpoint(path, u)
+    np.testing.assert_allclose(ck.u["a"], u["a"])
+    np.testing.assert_allclose(ck.u["b"], u["b"])
+    assert ck.t == 1.5 and ck.step == 10
+    assert ck.extra["dt"] == 0.1
+
+
+def test_latest_checkpoint(tmp_path):
+    u = jnp.zeros(3)
+    for k in (5, 20, 10):
+        save_checkpoint(str(tmp_path / f"march_{k}"), MarchCheckpoint(u, 0.0, k, {}))
+    assert latest_checkpoint(str(tmp_path)).endswith("march_20.npz")
+    assert latest_checkpoint(str(tmp_path / "missing")) is None
+
+
+def test_integrate_checkpoint_resume(tmp_path):
+    """March 10 steps with checkpoints; resume from step 5 reproduces the
+    uninterrupted result."""
+    p = spring.default_config()
+    u0 = spring.initial_condition()
+    full = integrate("midpoint", spring.rhs, u0, p, 0.1, 1.0)
+
+    integrate(
+        "midpoint", spring.rhs, u0, p, 0.1, 0.5,
+        checkpoint_dir=str(tmp_path), checkpoint_every=5,
+    )
+    assert os.path.exists(tmp_path / "march_5.npz")
+    resumed = integrate(
+        "midpoint", spring.rhs, u0, p, 0.1, 1.0,
+        checkpoint_dir=str(tmp_path), resume=True,
+    )
+    np.testing.assert_allclose(np.asarray(resumed.u), np.asarray(full.u), rtol=1e-12)
+    # resumed march only performed the remaining 5 steps
+    assert len(resumed.outer_iterations) == 5
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    with t("phase_a"):
+        sum(range(1000))
+    with t("phase_a"):
+        pass
+    with t("phase_b", block=jnp.ones(4) * 2):
+        pass
+    assert t.counts["phase_a"] == 2
+    assert t.totals["phase_a"] > 0
+    assert "phase_a" in t.summary() and "phase_b" in t.summary()
+
+
+def test_solve_report():
+    from newtonkrylov_tpu import newton_krylov
+    from newtonkrylov_tpu.problems import simple
+
+    u, info = newton_krylov(simple.residual, jnp.array([2.0, 0.5]))
+    rep = solve_report(info, 2)
+    assert "solved=True" in rep and "matvec/s" in rep
