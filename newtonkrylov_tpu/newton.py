@@ -119,6 +119,8 @@ def newton_krylov(
     linesearch: Optional[str] = None,
     space: Optional[VectorSpace] = None,
     jit_step: bool = True,
+    residual_dtype=None,
+    krylov_dtype=None,
 ):
     """Solve F(u, p) = 0 by inexact Newton–Krylov (reference semantics).
 
@@ -128,6 +130,8 @@ def newton_krylov(
     disappears), ``M``/``N`` are left/right preconditioner *factories* called
     with the current :class:`JacobianOperator` each outer iteration, and
     ``callback(u, res, n_res)`` fires after every residual evaluation.
+    ``residual_dtype``/``krylov_dtype`` enable mixed-precision refinement as
+    in :func:`newton_krylov_jit`.
 
     Returns ``(u, NewtonInfo)``.
     """
@@ -135,8 +139,16 @@ def newton_krylov(
     forcing = _resolve_forcing(forcing)
     krylov_kwargs = dict(krylov_kwargs or {})
 
+    def _cast(tree, dt):
+        return jax.tree.map(lambda l: l.astype(dt), tree)
+
+    if residual_dtype is not None:
+        outer_res = lambda u: F(_cast(u, residual_dtype), p)
+    else:
+        outer_res = lambda u: F(u, p)
+
     t0 = time.perf_counter()
-    res = F(u0, p)
+    res = outer_res(u0)
     n_res = float(space.norm(res))
     if callback is not None:
         callback(u0, res, n_res)
@@ -158,7 +170,13 @@ def newton_krylov(
 
     def step(u, eta_val, rtol_override):
         """One Newton iteration: linearize, inner-solve, update."""
-        J = JacobianOperator(F, u, p)
+        if krylov_dtype is not None:
+            u_low = _cast(u, krylov_dtype)
+            J = JacobianOperator(F, u_low, p)
+            b = _cast(outer_res(u), krylov_dtype)
+        else:
+            J = JacobianOperator(F, u, p)
+            b = J.res
         kw = dict(krylov_kwargs)
         kw["space"] = space
         # The outer loop owns the absolute tolerance; a nonzero inner atol
@@ -171,15 +189,21 @@ def newton_krylov(
             kw["M"] = M(J)
         if forcing is not None:
             kw["rtol"] = rtol_override
-        result = solvers.solve(algo, J, J.res, **kw)
+        result = solvers.solve(algo, J, b, **kw)
         d = result.x
+        if krylov_dtype is not None:
+            state_dt = jnp.result_type(*[l.dtype for l in jax.tree.leaves(u)])
+            d = _cast(d, state_dt)
         if linesearch == "armijo":
             u_new, res_new, n_new = _armijo_step(
                 F, p, space, u, d, J.res, space.norm(J.res)
             )
+            if residual_dtype is not None:
+                res_new = outer_res(u_new)
+                n_new = space.norm(res_new)
         else:
             u_new = tree_sub(u, d)  # s = 1 (src/Ariadne.jl:341-344)
-            res_new = F(u_new, p)
+            res_new = outer_res(u_new)
             n_new = space.norm(res_new)
         return u_new, res_new, n_new, result.niter
 

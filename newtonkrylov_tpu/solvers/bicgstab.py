@@ -69,7 +69,7 @@ def bicgstab(
     dtype = jnp.result_type(*[l.dtype for l in jax.tree.leaves(b)])
     atol, rtol = default_tols(dtype, atol, rtol)
     if itmax is None:
-        itmax = 2 * tree_size(b)
+        itmax = 2 * tree_size(b) * space.size_multiplier()
 
     r0 = space.mask_tree(tree_sub(b_eff, Aop(x0)))
     rhat = r0  # shadow residual
@@ -86,10 +86,10 @@ def bicgstab(
         safe = lambda d: jnp.where(d != 0, d, 1.0)
         beta = (rho_new / safe(c.rho)) * (c.alpha / safe(c.omega))
         p = tree_axpy(beta, tree_axpy(-c.omega, c.v, c.p), c.r)
-        v = space.mask_tree(Aop(p))
+        v = Aop(p)  # operators preserve the mask (see cg.py note)
         alpha = rho_new / safe(space.dot(rhat, v))
         s = tree_axpy(-alpha, v, c.r)
-        t = space.mask_tree(Aop(s))
+        t = Aop(s)
         tt = space.dot(t, t)
         omega = space.dot(t, s) / safe(tt)
         x = tree_axpy(omega, s, tree_axpy(alpha, p, c.x))
@@ -154,7 +154,7 @@ def cgls(
     if x0 is None:
         x0 = tree_zeros_like(s0)
     if itmax is None:
-        itmax = 2 * tree_size(x0)
+        itmax = 2 * tree_size(x0) * space.size_multiplier()
     gamma0 = space.dot(s0, s0)
     beta0 = space.norm(r0)
     eps_abs = atol + rtol * beta0
@@ -163,7 +163,7 @@ def cgls(
         return jnp.logical_not(c.converged) & (c.k < itmax)
 
     def body(c: _LCarry):
-        q = space.mask_tree(Aop(c.p))
+        q = Aop(c.p)
         safe = lambda d: jnp.where(d != 0, d, 1.0)
         alpha = c.gamma / safe(space.dot(q, q))
         x = tree_axpy(alpha, c.p, c.x)

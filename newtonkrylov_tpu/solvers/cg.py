@@ -60,7 +60,8 @@ def cg(
     atol, rtol = default_tols(dtype, atol, rtol)
     n = tree_size(b)
     if itmax is None:
-        itmax = 2 * n
+        # global problem size: under shard_map tree_size is the local shard
+        itmax = 2 * n * space.size_multiplier()
 
     def precond(r):
         return Mop(r) if Mop is not None else r
@@ -75,7 +76,11 @@ def cg(
         return jnp.logical_not(c.converged | c.breakdown) & (c.k < itmax)
 
     def body(c: _Carry):
-        Ap = space.mask_tree(Aop(c.p))
+        # No per-iteration re-masking: operators must preserve the space's
+        # mask (ghost entries stay zero — all library operators do), and the
+        # space's dot/norm are mask-weighted regardless, so a leak could only
+        # perturb ghost entries of the iterates, never the reductions.
+        Ap = Aop(c.p)
         pAp = space.dot(c.p, Ap)
         # Note: a *negative*-definite A runs CG as the exact sign-mirror of
         # CG on (-A, -b), so only pAp == 0 is a true breakdown.  This matters:

@@ -247,10 +247,23 @@ def gmres(
     atol, rtol = default_tols(dtype, atol, rtol)
 
     n = tree_size(b)
+    mult = space.size_multiplier()
     if itmax is None:
-        itmax = 2 * n
-    m = min(restart, n) if restart is not None else min(itmax, n)
-    max_cycles = max(1, -(-itmax // m))
+        # global problem size: under shard_map tree_size is the local shard
+        itmax = 2 * n * mult
+    if isinstance(mult, int):  # single-device: cap basis by problem size
+        m = min(restart, n) if restart is not None else min(itmax, n)
+    else:  # sharded: basis rows are sharded global vectors; don't cap by local n
+        if restart is None:
+            if not isinstance(itmax, int):
+                raise ValueError(
+                    "restart=None under a sharded space needs an explicit "
+                    "static itmax (the basis size must be known at trace time)"
+                )
+            m = itmax
+        else:
+            m = restart
+    max_cycles = jnp.maximum(1, -(-itmax // m))
 
     def residual(x):
         r = tree_sub(b, Aop(x))

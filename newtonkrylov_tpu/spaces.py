@@ -48,6 +48,12 @@ class VectorSpace:
         """Zero out entries that do not belong to the space (ghost cells)."""
         return x
 
+    def size_multiplier(self):
+        """Global size = local tree_size × this.  1 except under sharding;
+        solvers use it for iteration-count defaults (itmax = 2·global size —
+        inside shard_map a local tree_size would silently truncate itmax)."""
+        return 1
+
 
 @dataclasses.dataclass(frozen=True)
 class EuclideanSpace(VectorSpace):
@@ -112,6 +118,12 @@ class ShardedSpace(VectorSpace):
 
     def mask_tree(self, x):
         return self._local().mask_tree(x)
+
+    def size_multiplier(self):
+        mult = 1
+        for ax in self.axis_names:
+            mult = mult * jax.lax.psum(1, ax)
+        return mult
 
 
 def default_space() -> VectorSpace:
