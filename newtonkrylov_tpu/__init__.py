@@ -17,6 +17,7 @@ Public API parity: the reference exports exactly ``newton_krylov`` and
 (one XLA program).
 """
 
+from . import precond, problems, timestep
 from .forcing import EisenstatWalker, Fixed, Forcing
 from .newton import NewtonInfo, Stats, newton_krylov, newton_krylov_jit
 from .operator import (
@@ -27,6 +28,7 @@ from .operator import (
 )
 from .solvers import KrylovResult, bicgstab, cg, cgls, fgmres, gmres
 from .spaces import EuclideanSpace, MaskedSpace, ShardedSpace, VectorSpace
+from .timestep import integrate, integrate_scan
 
 __version__ = "0.1.0"
 
@@ -52,4 +54,9 @@ __all__ = [
     "EuclideanSpace",
     "MaskedSpace",
     "ShardedSpace",
+    "integrate",
+    "integrate_scan",
+    "precond",
+    "problems",
+    "timestep",
 ]

@@ -52,6 +52,7 @@ __all__ = [
     "sharded_residual_1d",
     "sharded_residual_2d",
     "newton_krylov_sharded",
+    "integrate_scan_sharded",
     "shard_array",
 ]
 
@@ -212,3 +213,60 @@ def _info_structure():
     return NewtonInfo(
         solved=0, stats=Stats(0, 0, 0.0), t=0.0, history=0.0
     )
+
+
+def integrate_scan_sharded(
+    stepper,
+    f_local: Callable,
+    u0,
+    p: Any,
+    dt: float,
+    n_steps: int,
+    mesh: Mesh,
+    in_spec: P,
+    *,
+    t0: float = 0.0,
+    axis_names: Optional[Sequence[str]] = None,
+    tol_abs: float = 6.0e-6,
+    newton_kwargs: Optional[dict] = None,
+):
+    """Implicit time march over a sharded domain as one SPMD XLA program.
+
+    ``f_local`` is the per-device ODE right-hand side (build its spatial
+    operator with :func:`sharded_residual_2d`-style halo exchange);
+    ``stepper`` is a :data:`~newtonkrylov_tpu.timestep.STEPPERS` key or
+    builder.  Each step runs a whole Newton–Krylov solve with psum-backed
+    reductions; ``lax.scan`` chains the steps.  Returns
+    ``(u_final, solved_per_step, outer_per_step, inner_per_step)``.
+    """
+    from .timestep import STEPPERS, StepParams
+
+    if isinstance(stepper, str):
+        stepper = STEPPERS[stepper]
+    G = stepper(f_local)
+    axis_names = tuple(axis_names if axis_names is not None else mesh.axis_names)
+    newton_kwargs = dict(newton_kwargs or {})
+    newton_kwargs.setdefault("tol_abs", tol_abs)
+    space = ShardedSpace(axis_names=axis_names)
+
+    def local_march(u0_local):
+        def one_step(un, k):
+            sp = StepParams(un=un, dt=dt, p=p, t=t0 + (k + 1.0) * dt)
+            u, info = newton_krylov_jit(G, un, sp, space=space, **newton_kwargs)
+            return u, (info.solved, info.stats.outer_iterations, info.stats.inner_iterations)
+
+        ks = jnp.arange(n_steps, dtype=jnp.result_type(float))
+        u_fin, stats = lax.scan(one_step, u0_local, ks)
+        return u_fin, stats
+
+    scalar = P()
+    wrapped = jax.shard_map(
+        local_march,
+        mesh=mesh,
+        in_specs=(in_spec,),
+        out_specs=((in_spec, (scalar, scalar, scalar))),
+        check_vma=False,
+    )
+    u0_sharded = shard_array(u0, mesh, in_spec)
+    u_fin, (solved, outers, inners) = jax.jit(wrapped)(u0_sharded)
+    return u_fin, solved, outers, inners

@@ -140,3 +140,34 @@ def test_1d_row_sharding_8way():
     assert bool(info_sh.solved)
     np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
     assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+
+
+def test_sharded_time_march_matches_single_device():
+    """Implicit heat march over a sharded domain (halo exchange every matvec)
+    reproduces the single-device integrate_scan exactly."""
+    from newtonkrylov_tpu.halo import integrate_scan_sharded
+    from newtonkrylov_tpu.ops.stencil import laplacian_2d
+    from newtonkrylov_tpu.problems import heat2d
+    from newtonkrylov_tpu.timestep import integrate_scan
+
+    n = 32
+    p = heat2d.default_config(n)
+    dt = heat2d.stable_dt(p)
+    u0 = heat2d.initial_condition(n)
+
+    r_ref = integrate_scan("euler", heat2d.rhs, u0, p, dt, 10,
+                           newton_kwargs={"algo": "cg"})
+
+    mesh = make_mesh((2, 2), ("i", "j"))
+
+    def f_local(u, pp, t):
+        up = exchange_2d(u, ("i", "j"), "dirichlet")
+        return pp.a * laplacian_2d(up, pp.dx, pp.dy)
+
+    u_fin, solved, outers, inners = integrate_scan_sharded(
+        "euler", f_local, u0, p, dt, 10, mesh, P("i", "j"),
+        newton_kwargs={"algo": "cg"},
+    )
+    assert bool(jnp.all(solved))
+    np.testing.assert_allclose(np.asarray(u_fin), np.asarray(r_ref.u), atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(inners), np.asarray(r_ref.inner_iterations))

@@ -77,3 +77,18 @@ def test_solve_report():
     u, info = newton_krylov(simple.residual, jnp.array([2.0, 0.5]))
     rep = solve_report(info, 2)
     assert "solved=True" in rep and "matvec/s" in rep
+
+
+def test_weak_scaling_harness_structure():
+    """Harness runs over virtual devices and returns sane records (real
+    efficiency needs real chips; virtual CPU devices share host cores)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        return
+    from newtonkrylov_tpu.utils.scaling import weak_scaling_matvec
+
+    pts = weak_scaling_matvec(local_n=32, device_counts=[1, 2], chain=5, repeats=1)
+    assert [p.n_devices for p in pts] == [1, 2]
+    assert all(p.matvecs_per_s > 0 for p in pts)
+    assert pts[0].efficiency == 1.0
