@@ -33,6 +33,7 @@ from jax import lax
 from newtonkrylov_tpu import newton_krylov_jit
 from newtonkrylov_tpu.kernels import stencil2d as K
 from newtonkrylov_tpu.problems import bratu2d
+from newtonkrylov_tpu.utils.profiling import time_chain as _time_chain
 
 N = 2048
 LAM = 5.0
@@ -44,32 +45,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def time_chain(fn, a, b, k_s=CHAIN // 10, k_l=CHAIN):
-    """matvecs/s of x ← fn(x, b), overhead cancelled by chain-length diff."""
-
-    def chain(k):
-        @jax.jit
-        def f(a, b):
-            out = lax.fori_loop(0, k, lambda i, x: fn(x, b) * 0.125, a)
-            return jnp.sum(out)
-
-        return f
-
-    fs, fl = chain(k_s), chain(k_l)
-    float(fs(a, b))
-    float(fl(a, b))
-
-    def best(f):
-        ts = []
-        for r in range(REPEATS):
-            aa = a * (1.0 + 1e-4 * (r + 1))  # vary input → no dedupe
-            t0 = time.perf_counter()
-            float(f(aa, b))
-            ts.append(time.perf_counter() - t0)
-        return min(ts)
-
-    dt = best(fl) - best(fs)
-    return (k_l - k_s) / max(dt, 1e-9)
+def time_chain(fn, a, b):
+    return _time_chain(fn, a, b, chain=CHAIN, repeats=REPEATS)
 
 
 def main():

@@ -175,6 +175,7 @@ def newton_krylov_sharded(
     *,
     axis_names: Optional[Sequence[str]] = None,
     newton_kwargs: Optional[dict] = None,
+    p_spec: Optional[Any] = None,
 ):
     """Run a full Newton–Krylov solve as one SPMD program over ``mesh``.
 
@@ -186,24 +187,39 @@ def newton_krylov_sharded(
     realization of the reference's overridden ``kdot``/``knorm`` seam.
 
     Returns ``(u, info)`` with ``u`` sharded like ``u0``.
+
+    ``p`` is closed over, so array-valued parameters reach every device at
+    *global* shape — fine for scalars/replicated data.  For per-gridpoint
+    parameter fields pass ``p_spec`` (a pytree of PartitionSpecs congruent
+    with ``p``) and the fields are sharded like the state instead.
     """
     axis_names = tuple(axis_names if axis_names is not None else mesh.axis_names)
     newton_kwargs = dict(newton_kwargs or {})
     space = ShardedSpace(axis_names=axis_names)
 
-    def local_solve(u0_local):
-        return newton_krylov_jit(F_local, u0_local, p, space=space, **newton_kwargs)
-
     scalar_spec = P()  # stats/history are identical on all devices
-    wrapped = jax.shard_map(
-        local_solve,
-        mesh=mesh,
-        in_specs=(in_spec,),
-        out_specs=(in_spec, jax.tree.map(lambda _: scalar_spec, _info_structure())),
-        check_vma=False,
-    )
+    info_specs = jax.tree.map(lambda _: scalar_spec, _info_structure())
     u0_sharded = shard_array(u0, mesh, in_spec)
-    return jax.jit(wrapped)(u0_sharded)
+
+    if p_spec is None:
+        def local_solve(u0_local):
+            return newton_krylov_jit(F_local, u0_local, p, space=space, **newton_kwargs)
+
+        wrapped = jax.shard_map(
+            local_solve, mesh=mesh, in_specs=(in_spec,),
+            out_specs=(in_spec, info_specs), check_vma=False,
+        )
+        return jax.jit(wrapped)(u0_sharded)
+
+    def local_solve_p(u0_local, p_local):
+        return newton_krylov_jit(F_local, u0_local, p_local, space=space, **newton_kwargs)
+
+    wrapped = jax.shard_map(
+        local_solve_p, mesh=mesh, in_specs=(in_spec, p_spec),
+        out_specs=(in_spec, info_specs), check_vma=False,
+    )
+    p_sharded = jax.tree.map(lambda leaf, spec: shard_array(leaf, mesh, spec), p, p_spec)
+    return jax.jit(wrapped)(u0_sharded, p_sharded)
 
 
 def _info_structure():
@@ -236,10 +252,17 @@ def integrate_scan_sharded(
     operator with :func:`sharded_residual_2d`-style halo exchange);
     ``stepper`` is a :data:`~newtonkrylov_tpu.timestep.STEPPERS` key or
     builder.  Each step runs a whole Newton–Krylov solve with psum-backed
-    reductions; ``lax.scan`` chains the steps.  Returns
-    ``(u_final, solved_per_step, outer_per_step, inner_per_step)``.
+    reductions; ``lax.scan`` chains the steps.  Returns a
+    :class:`~newtonkrylov_tpu.timestep.MarchResult` (``history=None`` — keep
+    snapshots via checkpointing for long sharded marches).
+
+    ``p`` is closed over (global shape on every device); per-gridpoint
+    parameter fields need the ``p_spec`` treatment of
+    :func:`newton_krylov_sharded` — open an issue of the same shape here if
+    you hit it.  Step times are ``t0 + (k+1)·dt`` in the default float dtype;
+    with x64 off, time-dependent RHS evaluation carries f32 rounding.
     """
-    from .timestep import STEPPERS, StepParams
+    from .timestep import STEPPERS, MarchResult, StepParams
 
     if isinstance(stepper, str):
         stepper = STEPPERS[stepper]
@@ -248,14 +271,17 @@ def integrate_scan_sharded(
     newton_kwargs = dict(newton_kwargs or {})
     newton_kwargs.setdefault("tol_abs", tol_abs)
     space = ShardedSpace(axis_names=axis_names)
+    fdtype = jnp.result_type(float)
 
     def local_march(u0_local):
         def one_step(un, k):
-            sp = StepParams(un=un, dt=dt, p=p, t=t0 + (k + 1.0) * dt)
+            # k is int32 (exact far beyond 2^24, unlike a float counter)
+            t = t0 + (k + 1).astype(fdtype) * dt
+            sp = StepParams(un=un, dt=dt, p=p, t=t)
             u, info = newton_krylov_jit(G, un, sp, space=space, **newton_kwargs)
             return u, (info.solved, info.stats.outer_iterations, info.stats.inner_iterations)
 
-        ks = jnp.arange(n_steps, dtype=jnp.result_type(float))
+        ks = jnp.arange(n_steps, dtype=jnp.int32)
         u_fin, stats = lax.scan(one_step, u0_local, ks)
         return u_fin, stats
 
@@ -269,4 +295,11 @@ def integrate_scan_sharded(
     )
     u0_sharded = shard_array(u0, mesh, in_spec)
     u_fin, (solved, outers, inners) = jax.jit(wrapped)(u0_sharded)
-    return u_fin, solved, outers, inners
+    return MarchResult(
+        u=u_fin,
+        history=None,
+        ts=t0 + dt * jnp.arange(1, n_steps + 1),
+        n_failed=jnp.sum(jnp.logical_not(solved)),
+        outer_iterations=outers,
+        inner_iterations=inners,
+    )

@@ -277,13 +277,16 @@ def integrate_scan(
     newton_kwargs = dict(newton_kwargs or {})
     newton_kwargs.setdefault("tol_abs", tol_abs)
 
+    fdtype = jnp.result_type(float)
+
     def one_step(un, k):
-        t = t0 + (k + 1.0) * dt
+        # k is int32: exact far beyond 2^24, unlike a float step counter
+        t = t0 + (k + 1).astype(fdtype) * dt
         sp = StepParams(un=un, dt=dt, p=p, t=t)
         u, info = newton_krylov_jit(G, un, sp, **newton_kwargs)
         return u, (u, info.solved, info.stats.outer_iterations, info.stats.inner_iterations)
 
-    ks = jnp.arange(n_steps, dtype=jnp.result_type(float))
+    ks = jnp.arange(n_steps, dtype=jnp.int32)
     u_fin, (us, solved, outers, inners) = lax.scan(one_step, u0, ks)
 
     if save_every > 1:

@@ -26,7 +26,45 @@ from typing import Any, Dict, Optional
 
 import jax
 
-__all__ = ["PhaseTimer", "trace", "annotate", "solve_report"]
+__all__ = ["PhaseTimer", "trace", "annotate", "solve_report", "time_chain"]
+
+
+def time_chain(fn, a, b, *, chain: int = 200, repeats: int = 3):
+    """Iterations/s of ``x ← fn(x, b)·0.125`` with overhead cancellation.
+
+    Timing discipline for remote-attached chips (see docs/design.md): each
+    timed program returns a 4-byte scalar synced with ``float()``, inputs
+    vary across repetitions so no layer can dedupe identical dispatches, and
+    fixed dispatch/transfer overhead is cancelled by differencing a short
+    and a long chain.  Shared by bench.py and the scaling harness.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    def make(k):
+        @jax.jit
+        def f(a, b):
+            out = lax.fori_loop(0, k, lambda i, x: fn(x, b) * 0.125, a)
+            return jnp.sum(jnp.stack([jnp.sum(l) for l in jax.tree.leaves(out)]))
+
+        return f
+
+    k_s, k_l = max(1, chain // 10), chain
+    fs, fl = make(k_s), make(k_l)
+    float(fs(a, b))
+    float(fl(a, b))
+
+    def best(f):
+        ts = []
+        for r in range(repeats):
+            ar = jax.tree.map(lambda l: l * (1.0 + 1e-4 * (r + 1)), a)
+            t0 = time.perf_counter()
+            float(f(ar, b))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = best(fl) - best(fs)
+    return (k_l - k_s) / max(dt, 1e-9)
 
 
 class PhaseTimer:

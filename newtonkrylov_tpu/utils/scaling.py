@@ -13,16 +13,14 @@ bandwidth; on a pod slice the identical code measures the real thing.
 
 from __future__ import annotations
 
-import time
 from typing import NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from ..halo import exchange_2d, make_mesh, shard_array
+from .profiling import time_chain
 
 __all__ = ["ScalingPoint", "weak_scaling_matvec"]
 
@@ -31,7 +29,7 @@ class ScalingPoint(NamedTuple):
     n_devices: int
     global_n: int
     matvecs_per_s: float
-    efficiency: float  # vs the 1-device per-device rate
+    efficiency: float  # vs the smallest measured mesh (= 1 device when included)
 
 
 def _stencil_jvp_local(up, w):
@@ -49,9 +47,14 @@ def weak_scaling_matvec(
 ) -> list[ScalingPoint]:
     """Measure halo-exchange stencil-JVP throughput per mesh size.
 
-    Each device holds a ``local_n × local_n`` block (row decomposition);
-    the matvec includes the ppermute ghost exchange — the communication the
-    efficiency number is about.
+    Each device holds a ``local_n × local_n`` block (row decomposition); the
+    matvec includes the ppermute ghost exchange — the communication the
+    efficiency number is about.  Under weak scaling the ideal global rate is
+    constant as devices grow, so ``efficiency = rate_d / rate_first``;
+    **include 1 in device_counts** to anchor against the BASELINE
+    1-chip-to-N target — with a partial list the baseline is the smallest
+    measured mesh and earlier scaling loss is invisible.  Timing uses the
+    overhead-cancelling :func:`~newtonkrylov_tpu.utils.profiling.time_chain`.
     """
     ndev = len(jax.devices())
     if device_counts is None:
@@ -69,37 +72,22 @@ def weak_scaling_matvec(
             vp = exchange_2d(v, ("i", None), "dirichlet")
             return _stencil_jvp_local(vp, wl)
 
-        def chain_local(v, wl):
-            out = lax.fori_loop(0, chain, lambda i, x: matvec_local(x, wl) * 0.125, v)
-            return lax.psum(jnp.sum(out), "i")
-
-        run = jax.jit(
-            jax.shard_map(
-                chain_local, mesh=mesh,
-                in_specs=(P("i", None), P("i", None)),
-                out_specs=P(),
-                check_vma=False,
-            )
+        spec = P("i", None)
+        matvec_global = jax.shard_map(
+            matvec_local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,
         )
-        us = shard_array(u, mesh, P("i", None))
-        ws = shard_array(w, mesh, P("i", None))
-        float(run(us, ws))  # compile
-        best = float("inf")
-        for r in range(repeats):
-            us_r = shard_array(u * (1.0 + 1e-4 * (r + 1)), mesh, P("i", None))
-            t0 = time.perf_counter()
-            float(run(us_r, ws))
-            best = min(best, time.perf_counter() - t0)
-        rate = chain / best  # global matvecs/s (each matvec covers d blocks)
-        per_device = rate  # weak scaling: ideal = constant rate as d grows
+        us = shard_array(u, mesh, spec)
+        ws = shard_array(w, mesh, spec)
+        rate = time_chain(matvec_global, us, ws, chain=chain, repeats=repeats)
         if base_rate is None:
-            base_rate = per_device
+            base_rate = rate
         points.append(
             ScalingPoint(
                 n_devices=d,
                 global_n=n_rows,
                 matvecs_per_s=rate,
-                efficiency=per_device / base_rate,
+                efficiency=rate / base_rate,
             )
         )
     return points

@@ -164,10 +164,45 @@ def test_sharded_time_march_matches_single_device():
         up = exchange_2d(u, ("i", "j"), "dirichlet")
         return pp.a * laplacian_2d(up, pp.dx, pp.dy)
 
-    u_fin, solved, outers, inners = integrate_scan_sharded(
+    r_sh = integrate_scan_sharded(
         "euler", f_local, u0, p, dt, 10, mesh, P("i", "j"),
         newton_kwargs={"algo": "cg"},
     )
-    assert bool(jnp.all(solved))
-    np.testing.assert_allclose(np.asarray(u_fin), np.asarray(r_ref.u), atol=1e-12)
-    np.testing.assert_array_equal(np.asarray(inners), np.asarray(r_ref.inner_iterations))
+    assert int(r_sh.n_failed) == 0
+    np.testing.assert_allclose(np.asarray(r_sh.u), np.asarray(r_ref.u), atol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(r_sh.inner_iterations), np.asarray(r_ref.inner_iterations)
+    )
+
+
+def test_sharded_parameter_fields_p_spec():
+    """Per-gridpoint parameter fields sharded alongside the state (p_spec)."""
+    n = 16
+    rng = np.random.default_rng(3)
+    coeff = jnp.asarray(1.0 + 0.5 * rng.random((n, n)))  # spatially varying
+
+    def F_global(u, p):
+        c = p["coeff"]
+        up = jnp.pad(u, 1)
+        stencil = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2] - 4.0 * u
+        return stencil + 0.01 * c * jnp.exp(u)
+
+    u0 = jnp.zeros((n, n))
+    u_ref, info_ref = newton_krylov_jit(F_global, u0, {"coeff": coeff}, algo="cg")
+    assert bool(info_ref.solved)
+
+    def padded_local(up, p):
+        u = up[1:-1, 1:-1]
+        stencil = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2] - 4.0 * u
+        return stencil + 0.01 * p["coeff"] * jnp.exp(u)
+
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(padded_local, ("i", "j"), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, {"coeff": coeff}, mesh, P("i", "j"),
+        newton_kwargs={"algo": "cg"},
+        p_spec={"coeff": P("i", "j")},
+    )
+    assert bool(info_sh.solved)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-10)
+    assert int(info_sh.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
