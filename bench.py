@@ -49,6 +49,13 @@ def time_chain(fn, a, b):
     return _time_chain(fn, a, b, chain=CHAIN, repeats=REPEATS)
 
 
+def _best_wall(f, u0, r):
+    u = u0 * (1.0 + 1e-7 * (r + 1))
+    t0 = time.perf_counter()
+    float(f(u))
+    return time.perf_counter() - t0
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev}, platform: {jax.default_backend()}")
@@ -77,27 +84,48 @@ def main():
     log(f"stream axpy SoL: {1e6/sol:.2f} us/iter; best jvp at {100*frac:.1f}% of SoL")
 
     # --- flagship solve: ||F|| <= 1e-8 by iterative refinement -------------
+    # Marginal (on-chip) solve time via chained-solve differencing: a single
+    # call's wall is dominated by fixed tunnel dispatch (~0.9 s) regardless
+    # of work, so we difference programs running 1 vs 3 full solves, each
+    # from a data-dependent perturbation of u0 so no layer can dedupe.
+    from newtonkrylov_tpu.mg import multigrid2d
+
     ns = 1024
-    u0a, ps, space = bratu2d.aligned_setup(ns, lam=LAM, dtype=jnp.float64)
+    u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
+    ps = bratu2d.default_config(ns, lam=LAM)
 
-    @jax.jit
-    def solve(u0a):
-        u, info = newton_krylov_jit(
-            lambda u, pp: bratu2d.residual_scaled_aligned(u, pp), u0a, ps,
-            algo="cg", tol_rel=1e-8, space=space, krylov_dtype=jnp.float32,
-            max_niter=20,
+    def make_chain_solve(k, M=None):
+        @jax.jit
+        def f(u0):
+            def body(i, acc):
+                u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
+                u, info = newton_krylov_jit(
+                    bratu2d.residual_scaled, u_in, ps,
+                    algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
+                    max_niter=20, M=M,
+                )
+                return acc + jnp.sum(u) + info.stats.inner_iterations
+            return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float64))
+        return f
+
+    for tag, M in (("plain CG", None), ("MG-PCG", multigrid2d())):
+        f1, f3 = make_chain_solve(1, M), make_chain_solve(3, M)
+        float(f1(u0s)); float(f3(u0s))
+        t1 = min(
+            _best_wall(f1, u0s, r) for r in range(2)
         )
-        return jnp.sum(u), info.solved, info.stats.outer_iterations, info.stats.inner_iterations
+        t3 = min(
+            _best_wall(f3, u0s, r + 2) for r in range(2)
+        )
+        log(f"JFNK refined {ns}x{ns} to 1e-8 [{tag}]: marginal {max(t3-t1,0)/2*1e3:.1f} ms/solve "
+            f"(single-call wall {t1:.3f}s incl. tunnel overhead)")
 
-    float(solve(u0a)[0])  # compile
-    t0 = time.perf_counter()
-    s, solved, outer, inner = solve(u0a * (1.0 + 1e-6))
-    float(s)
-    t_solve = time.perf_counter() - t0
-    log(
-        f"JFNK refined solve {ns}x{ns} to 1e-8: solved={bool(solved)} "
-        f"outer={int(outer)} inner={int(inner)} wall={t_solve:.3f}s"
-    )
+    # convergence facts for the record (one verification run)
+    u, info = jax.jit(lambda u0: newton_krylov_jit(
+        bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
+        krylov_dtype=jnp.float32, max_niter=20, M=multigrid2d()))(u0s)
+    log(f"MG-PCG stats: solved={bool(info.solved)} outer={int(info.stats.outer_iterations)} "
+        f"inner={int(info.stats.inner_iterations)}")
 
     print(json.dumps({
         "metric": "bratu2d_jv_matvecs_per_s_chip",

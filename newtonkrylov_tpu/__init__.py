@@ -17,7 +17,7 @@ Public API parity: the reference exports exactly ``newton_krylov`` and
 (one XLA program).
 """
 
-from . import precond, problems, timestep
+from . import mg, precond, problems, timestep
 from .forcing import EisenstatWalker, Fixed, Forcing
 from .newton import NewtonInfo, Stats, newton_krylov, newton_krylov_jit
 from .operator import (
@@ -56,6 +56,7 @@ __all__ = [
     "ShardedSpace",
     "integrate",
     "integrate_scan",
+    "mg",
     "precond",
     "problems",
     "timestep",

@@ -1,0 +1,163 @@
+"""Geometric multigrid V-cycle preconditioner for 5-point-stencil Jacobians.
+
+The reference's only "strong" preconditioner is ILU of the materialized
+Jacobian (examples/bratu.jl:121-138) — inherently sequential and host-bound.
+The TPU-native answer for the elliptic problems this framework targets is
+geometric multigrid: restriction/prolongation are pooling/upsampling ops,
+smoothing is damped Jacobi (pure VPU), and the whole V-cycle jits into the
+Krylov loop.  As a preconditioner inside CG/FGMRES it reduces per-Newton
+Krylov iterations from O(n) to O(10), independent of resolution.
+
+Operator model (covers the 2-D Bratu/heat family, scaled or unscaled):
+
+    A u = o · S(u) + d(x) · u
+
+where ``S`` is the sum of the four neighbors (zero-Dirichlet ghosts), ``o``
+the constant off-diagonal coefficient, and ``d`` the spatially varying
+diagonal.  The factory probes both from the JacobianOperator: ``o`` with a
+single basis vector, ``d`` with a 5-coloring (6 JVPs total — the 2-D
+analogue of the colored banded probing in operator.py).
+
+Coarsening is cell-centered: restriction = 2×2 mean, prolongation = 2×2
+nearest injection; the mass part of the diagonal is restricted, the
+Laplacian part rescales by 1/4 per level.  Symmetric V(ν,ν) cycles keep the
+preconditioner effectively SPD so CG theory applies (sign-mirrored for the
+negative-definite stencils, see solvers/cg.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.flatten_util
+import jax.numpy as jnp
+
+from .operator import JacobianOperator
+
+__all__ = ["multigrid2d", "vcycle", "probe_5point"]
+
+
+def _neighbor_sum(u):
+    """S(u): sum of the 4 neighbors with zero-Dirichlet ghosts."""
+    up = jnp.pad(u, 1)
+    return up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2]
+
+
+def _apply(u, o, d):
+    return o * _neighbor_sum(u) + d * u
+
+
+def _restrict(r):
+    """Cell-centered full-weighting: 2×2 block mean."""
+    n, m = r.shape
+    return r.reshape(n // 2, 2, m // 2, 2).mean(axis=(1, 3))
+
+
+def _prolong(e):
+    """Nearest-neighbor 2×2 injection."""
+    return jnp.repeat(jnp.repeat(e, 2, axis=0), 2, axis=1)
+
+
+def _jacobi(u, b, o, d, omega, sweeps):
+    safe_d = jnp.where(d != 0, d, 1.0)
+    for _ in range(sweeps):
+        r = b - _apply(u, o, d)
+        u = u + omega * r / safe_d
+    return u
+
+
+class _Level(NamedTuple):
+    o: jnp.ndarray
+    d: jnp.ndarray
+
+
+def _build_levels(o, d, n_levels):
+    """Coarse hierarchy: d = -4o + m splits into Laplacian + mass parts;
+    o and the Laplacian part rescale by 1/4 per level, m restricts."""
+    levels = [_Level(o=jnp.asarray(o), d=d)]
+    m = d + 4.0 * o
+    for _ in range(n_levels - 1):
+        o = o * 0.25
+        m = _restrict(m)
+        d = -4.0 * o + m
+        levels.append(_Level(o=jnp.asarray(o), d=d))
+    return levels
+
+
+def vcycle(b, levels, level=0, *, omega=0.8, nu=2, coarse_sweeps=20):
+    """One V(ν,ν) cycle for A e = b starting from e = 0."""
+    o, d = levels[level]
+    if level == len(levels) - 1:
+        return _jacobi(jnp.zeros_like(b), b, o, d, omega, coarse_sweeps)
+    u = _jacobi(jnp.zeros_like(b), b, o, d, omega, nu)
+    r = b - _apply(u, o, d)
+    ec = vcycle(_restrict(r), levels, level + 1, omega=omega, nu=nu,
+                coarse_sweeps=coarse_sweeps)
+    u = u + _prolong(ec)
+    return _jacobi(u, b, o, d, omega, nu)
+
+
+def probe_5point(J: JacobianOperator):
+    """Extract (o, d) of a 5-point + diagonal operator by colored probing.
+
+    One JVP with a single basis vector gives the off-diagonal coefficient;
+    five JVPs with a (i + 2j) mod 5 coloring give the full diagonal field
+    (no two entries of the 5-point stencil share a color under it).
+    """
+    u = J.u
+    n, m = u.shape
+    dtype = u.dtype
+
+    e = jnp.zeros((n, m), dtype).at[n // 2, m // 2].set(1.0)
+    col = J.mv(e)
+    o = col[n // 2 + 1, m // 2]  # neighbor entry = off-diagonal coefficient
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    color = (rows + 2 * cols) % 5
+    outs = jax.vmap(lambda c: J.mv((color == c).astype(dtype)))(jnp.arange(5))
+    d = jnp.take_along_axis(
+        outs.reshape(5, -1), color.reshape(1, -1), axis=0
+    ).reshape(n, m)
+    return o, d
+
+
+def multigrid2d(
+    n_levels: int | None = None,
+    *,
+    omega: float = 0.8,
+    nu: int = 2,
+    cycles: int = 1,
+    coarse_sweeps: int = 20,
+    min_coarse: int = 8,
+) -> Callable:
+    """Preconditioner factory: J ↦ (r ↦ V-cycle(s) approximating A⁻¹r).
+
+    Fully jittable; invoked at every Newton iteration so the hierarchy
+    tracks the current linearization point (src/Ariadne.jl:323-329
+    semantics).  Use with ``algo="cg"`` (symmetric cycles) or FGMRES.
+    """
+
+    def factory(J: JacobianOperator):
+        o, d = probe_5point(J)
+        n = d.shape[0]
+        levels_cap = 1
+        size = n
+        while size % 2 == 0 and size // 2 >= min_coarse:
+            size //= 2
+            levels_cap += 1
+        L = levels_cap if n_levels is None else min(n_levels, levels_cap)
+        levels = _build_levels(o, d, L)
+
+        def apply(r):
+            e = vcycle(r, levels, omega=omega, nu=nu, coarse_sweeps=coarse_sweeps)
+            for _ in range(cycles - 1):
+                rr = r - _apply(e, levels[0].o, levels[0].d)
+                e = e + vcycle(rr, levels, omega=omega, nu=nu,
+                               coarse_sweeps=coarse_sweeps)
+            return e
+
+        return apply
+
+    return factory
