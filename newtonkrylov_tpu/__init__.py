@@ -18,6 +18,7 @@ Public API parity: the reference exports exactly ``newton_krylov`` and
 """
 
 from . import mg, precond, problems, timestep
+from .implicit import make_implicit_solver
 from .forcing import EisenstatWalker, Fixed, Forcing
 from .newton import NewtonInfo, Stats, newton_krylov, newton_krylov_jit
 from .operator import (
@@ -56,6 +57,7 @@ __all__ = [
     "ShardedSpace",
     "integrate",
     "integrate_scan",
+    "make_implicit_solver",
     "mg",
     "precond",
     "problems",
