@@ -57,6 +57,7 @@ __all__ = ["gmres", "fgmres"]
 
 class _CycleCarry(NamedTuple):
     k: jnp.ndarray
+    keff: jnp.ndarray       # number of usable basis columns (≤ k)
     V: Any
     Z: Any
     R: jnp.ndarray
@@ -65,6 +66,7 @@ class _CycleCarry(NamedTuple):
     g: jnp.ndarray
     resnorm: jnp.ndarray
     done: jnp.ndarray       # converged or breakdown inside the cycle
+    dep: jnp.ndarray        # serious breakdown: dependent column encountered
 
 
 class _OuterCarry(NamedTuple):
@@ -157,34 +159,46 @@ def _gmres_cycle(Aop, Mop, Nop, b_unused, x, r, beta, space, m, orth,
         h = _apply_givens(cs, sn, h, k)
         hk = h[k]
         rho = jnp.sqrt(hk * hk + hk1 * hk1)
+
+        # Rotations preserve the column norm, so rho ≈ 0 relative to the
+        # column means the new Krylov direction is linearly dependent —
+        # SERIOUS breakdown (singular projected system, e.g. inconsistent
+        # singular A).  Using the Givens update there would zero the residual
+        # estimate and back-substitution would divide by ~0: exclude the
+        # column and stop instead.
+        col_norm = jnp.sqrt(jnp.sum(h * h) + hk1 * hk1)
+        tiny = jnp.asarray(100.0 * jnp.finfo(dtype).eps, dtype)
+        dep = rho <= jnp.maximum(breakdown_tol, tiny) * jnp.maximum(col_norm, 1e-30)
+
         safe_rho = jnp.where(rho > 0, rho, 1.0)
-        c_new = jnp.where(rho > 0, hk / safe_rho, jnp.ones((), dtype))
-        s_new = jnp.where(rho > 0, hk1 / safe_rho, jnp.zeros((), dtype))
-        h = h.at[k].set(rho)
+        c_new = jnp.where(dep | (rho == 0), jnp.ones((), dtype), hk / safe_rho)
+        s_new = jnp.where(dep | (rho == 0), jnp.zeros((), dtype), hk1 / safe_rho)
+        h = h.at[k].set(jnp.where(dep, h[k], rho))
 
         cs = cs.at[k].set(c_new)
         sn = sn.at[k].set(s_new)
         gk = g[k]
-        g = g.at[k].set(c_new * gk)
-        g = g.at[k + 1].set(-s_new * gk)
+        g_new = g.at[k].set(c_new * gk).at[k + 1].set(-s_new * gk)
+        g = jnp.where(dep, g, g_new)
 
         R = lax.dynamic_update_slice(R, h[:, None], (jnp.zeros((), k.dtype), k))
 
-        resnorm = jnp.abs(g[k + 1])
-        brk = hk1 <= breakdown_tol * jnp.maximum(rho, 1.0)  # happy breakdown
-        done = (resnorm <= eps_abs) | brk
+        resnorm = jnp.where(dep, c.resnorm, jnp.abs(g[k + 1]))
+        happy = jnp.logical_not(dep) & (hk1 <= breakdown_tol * jnp.maximum(rho, 1.0))
+        done = (resnorm <= eps_abs) | happy | dep
+        keff = jnp.where(dep, c.keff, k + 1)
 
         safe_h = jnp.where(hk1 > 0, hk1, 1.0)
         V = tree_set_row(V, k + 1, tree_scale(1.0 / safe_h, w))
 
-        return _CycleCarry(k + 1, V, Z, R, cs, sn, g, resnorm, done)
+        return _CycleCarry(k + 1, keff, V, Z, R, cs, sn, g, resnorm, done, c.dep | dep)
 
     init = _CycleCarry(
-        jnp.zeros((), jnp.int32), V, Z, R, cs, sn, g,
-        beta, (beta <= eps_abs),
+        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32), V, Z, R, cs, sn, g,
+        beta, (beta <= eps_abs), jnp.zeros((), bool),
     )
     fin = lax.while_loop(cond, body, init)
-    kf = fin.k
+    kf = fin.keff
 
     # Back-substitution on the rotated (upper-triangular) system R y = g.
     def back(i_rev, y):
@@ -204,7 +218,7 @@ def _gmres_cycle(Aop, Mop, Nop, b_unused, x, r, beta, space, m, orth,
         dx = Nop(Vy) if Nop is not None else Vy
 
     x_new = jax.tree.map(jnp.add, x, dx)
-    return x_new, kf, fin.resnorm
+    return x_new, fin.k, fin.resnorm, fin.dep
 
 
 def gmres(
@@ -285,16 +299,17 @@ def gmres(
     def body(c: _OuterCarry):
         r = residual(c.x)
         beta = space.norm(r)
-        x_new, k, resnorm = _gmres_cycle(
+        x_new, k, resnorm, dep = _gmres_cycle(
             Aop, Mop, Nop, b, c.x, r, beta, space, m, orth,
             reorthogonalize, eps_abs, flexible, breakdown_tol,
         )
         converged = resnorm <= eps_abs
-        # A cycle doing 0 iterations means beta itself met the tolerance.
+        # Serious breakdown (dependent Krylov direction) ends the whole solve:
+        # restarting would rebuild the same exhausted space.
         return _OuterCarry(
             x_new, c.total_iter + k, resnorm, converged,
-            c.breakdown | (k < m) & jnp.logical_not(converged) & (resnorm > eps_abs),
-            c.cycle + 1,
+            c.breakdown | dep,
+            jnp.where(dep, jnp.asarray(max_cycles, c.cycle.dtype), c.cycle + 1),
         )
 
     init = _OuterCarry(
