@@ -93,3 +93,23 @@ def test_weak_scaling_harness_structure():
     assert [p.n_devices for p in pts] == [1, 2]
     assert all(p.matvecs_per_s > 0 for p in pts)
     assert pts[0].efficiency == 1.0
+
+
+def test_export_roundtrip(tmp_path):
+    """AOT-exported solve serializes, reloads, and reproduces the live solve."""
+    import jax
+
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.problems import bratu2d
+    from newtonkrylov_tpu.utils.serving import export_solver, load_exported, save_exported
+
+    n = 16
+    p = bratu2d.default_config(n, lam=4.0)
+    f = jax.jit(lambda u0: newton_krylov_jit(bratu2d.residual_scaled, u0, p, algo="cg")[0])
+    u0 = bratu2d.initial_guess(n)
+
+    exp = export_solver(f, (u0,))
+    path = save_exported(exp, str(tmp_path / "solve.bin"))
+    re = load_exported(path)
+    u_aot = re.call(u0)
+    np.testing.assert_allclose(np.asarray(u_aot), np.asarray(f(u0)), atol=1e-12)
