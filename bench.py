@@ -76,12 +76,54 @@ def main():
     r_pal = time_chain(lambda x, b: pal(x, b), va, wa)
     log(f"pallas fused jvp:  {1e6/r_pal:.2f} us/matvec ({r_pal:.0f}/s)")
 
-    matvecs_per_s = max(r_xla, r_pal)
+    # --- path 3: chained VMEM-resident kernel (k matvecs per launch) -------
+    # Per-matvec time from in-kernel chain differencing: inputs are DMA'd to
+    # VMEM once and all k dependent applies run from VMEM, so this also has
+    # the lowest measurement noise (no per-matvec dispatch at all).
+    def chain_call(k):
+        @jax.jit
+        def f(v, w):
+            return jnp.sum(K.stencil_jvp_chain_pallas(v, w, n=N, k=k, scale=0.125))
+        return f
 
-    # --- empirical stream roofline (3-array traffic, same footprint) ------
-    sol = time_chain(lambda x, b: x * 0.99999 + b, va, wa)
+    k_s, k_l = CHAIN // 10, CHAIN
+    fs, fl = chain_call(k_s), chain_call(k_l)
+    float(fs(va, wa)); float(fl(va, wa))
+
+    def best_t(f):
+        ts = []
+        for r in range(REPEATS):
+            vr = va * (1.0 + 1e-5 * (r + 1))
+            t0 = time.perf_counter()
+            float(f(vr, wa))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    r_chain = (k_l - k_s) / max(best_t(fl) - best_t(fs), 1e-9)
+    log(f"pallas VMEM chain: {1e6/r_chain:.2f} us/matvec ({r_chain:.0f}/s)")
+
+    matvecs_per_s = max(r_xla, r_pal, r_chain)
+
+    # --- empirical roofline: max(HBM stream, op-matched VPU probe) ---------
+    # The stencil-JVP moves 3 arrays (v, w, out) but does ~8 VPU ops/element
+    # (4 neighbor adds, diagonal fma, scale fma, interior select); on this
+    # chip the chained matvec is VPU-bound, so the speed-of-light is the
+    # SLOWER of (a) a 3-array stream axpy at the same footprint and (b) a
+    # simplification-resistant 8-op elementwise chain with no shifts.
+    sol_bw = time_chain(lambda x, b: x * 0.99999 + b, va, wa)
+    rows = lax.broadcasted_iota(jnp.int32, va.shape, 0)
+    cols = lax.broadcasted_iota(jnp.int32, va.shape, 1)
+    maskb = (rows < N) & (cols >= 1) & (cols <= N)
+
+    def vpu_probe(x, b):
+        t = (x * 1.01 + b) + (x * 0.99 + b * 1.02)
+        return jnp.where(maskb, t * 0.124 + b * x, 0.0)
+
+    sol_vpu = time_chain(vpu_probe, va, wa)
+    sol = min(sol_bw, sol_vpu)  # slower rate = binding roofline
     frac = matvecs_per_s / sol
-    log(f"stream axpy SoL: {1e6/sol:.2f} us/iter; best jvp at {100*frac:.1f}% of SoL")
+    log(f"roofline: stream axpy {1e6/sol_bw:.2f} us, 8-op VPU probe "
+        f"{1e6/sol_vpu:.2f} us; best jvp at {100*frac:.1f}% of SoL")
 
     # --- flagship solve: ||F|| <= 1e-8 by iterative refinement -------------
     # Marginal (on-chip) solve time via chained-solve differencing: a single

@@ -245,6 +245,61 @@ def stencil_jvp_pallas(v, w, n: int, T: int = 256):
     return _call_stencil(v, w, n, T, nonlinear=False, scale=0.0)
 
 
+def _chain_kernel(v_ref, w_ref, o_ref, *, k, n, scale):
+    """k dependent stencil-JVP applies with the state VMEM-resident throughout.
+
+    x ← (lap(x) + w·x)·scale, masked to the interior each step (the mask both
+    applies the Dirichlet BC and keeps the ghost ring/apron zero so the
+    wrap-around of ``pltpu.roll`` reads zeros, i.e. the correct ghosts).
+    """
+    R, C = o_ref.shape
+    rows = lax.broadcasted_iota(jnp.int32, (R, C), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (R, C), 1)
+    mask = (rows < n) & (cols >= 1) & (cols <= n)
+    w = w_ref[:]
+    one = jnp.asarray(1, jnp.int32)
+    s = jnp.asarray(scale, w.dtype)
+    zero = jnp.zeros((), w.dtype)
+
+    def step(_, x):
+        up = pltpu.roll(x, shift=one, axis=0)
+        dn = pltpu.roll(x, shift=jnp.asarray(R - 1, jnp.int32), axis=0)
+        left = pltpu.roll(x, shift=one, axis=1)
+        right = pltpu.roll(x, shift=jnp.asarray(C - 1, jnp.int32), axis=1)
+        out = up + dn + left + right + (w - 4.0) * x
+        return jnp.where(mask, out * s, zero)
+
+    o_ref[:] = lax.fori_loop(0, k, step, v_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k", "scale"))
+def stencil_jvp_chain_pallas(v, w, n: int, k: int, scale: float = 1.0):
+    """k chained matvecs x ← scale·(J x) in ONE kernel, state resident in VMEM.
+
+    The per-matvec HBM traffic is amortized to ~zero: v and w are DMA'd to
+    VMEM once, all k dependent applies run at VMEM bandwidth, and only the
+    final state is written back.  This is the speed-of-light regime for the
+    Krylov hot loop (power iteration, Chebyshev smoothing, and the chained
+    matvec benchmark all have this shape).  ``scale`` keeps the iteration
+    bounded (e.g. 1/8 for benchmarking, 1/λmax for power iteration).
+
+    Requires the aligned ghost layout of :func:`aligned_wrap`; VMEM footprint
+    is ~3 full arrays + roll temps, so n ≤ 2048 in f32 on v5e.
+    """
+    R, C = v.shape
+    assert R == n + 8 and C % 128 == 0, "use aligned_wrap layout"
+    kernel = functools.partial(_chain_kernel, k=k, n=n, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((R, C), v.dtype),
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024,
+        ),
+        interpret=_interpret_default(),
+    )(v, w)
+
+
 @functools.partial(jax.jit, static_argnames=("n", "scale", "T"))
 def bratu_residual_pallas(u, n: int, scale: float, T: int = 256):
     """Bratu residual lap(u) + scale·eᵘ on the aligned ghost layout.

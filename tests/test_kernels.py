@@ -36,6 +36,22 @@ def test_jvp_kernel_matches_xla(n):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
 
 
+def test_jvp_chain_kernel_matches_iterated_single_step():
+    from newtonkrylov_tpu.kernels.stencil2d import stencil_jvp_chain_pallas
+
+    n, k, s = 16, 4, 0.125
+    v = aligned_wrap(_rand(n, 4))
+    w = aligned_wrap(jnp.abs(_rand(n, 5)) + 0.1)
+    ref = v
+    for _ in range(k):
+        ref = stencil_jvp_xla(ref, w, n) * s
+    got = stencil_jvp_chain_pallas(v, w, n=n, k=k, scale=s)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+    # the chained state must preserve the ghost/apron-zero layout invariant
+    mask = aligned_mask(n, got.dtype)
+    assert float(jnp.max(jnp.abs(got * (1 - mask)))) == 0.0
+
+
 def test_jvp_kernel_multitile():
     n = 64
     v = aligned_wrap(_rand(n, 2))
