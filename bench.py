@@ -130,6 +130,7 @@ def main():
     # call's wall is dominated by fixed tunnel dispatch (~0.9 s) regardless
     # of work, so we difference programs running 1 vs 3 full solves, each
     # from a data-dependent perturbation of u0 so no layer can dedupe.
+    from newtonkrylov_tpu.fftprec import fft_poisson
     from newtonkrylov_tpu.mg import multigrid2d
 
     ns = 1024
@@ -150,7 +151,11 @@ def main():
             return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float64))
         return f
 
-    for tag, M in (("plain CG", None), ("MG-PCG", multigrid2d())):
+    for tag, M in (
+        ("plain CG", None),
+        ("MG-PCG", multigrid2d()),
+        ("DST-PCG", fft_poisson()),  # fast-Poisson via MXU sine-basis matmuls
+    ):
         f1, f3 = make_chain_solve(1, M), make_chain_solve(3, M)
         float(f1(u0s)); float(f3(u0s))
         t1 = min(
@@ -165,8 +170,8 @@ def main():
     # convergence facts for the record (one verification run)
     u, info = jax.jit(lambda u0: newton_krylov_jit(
         bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
-        krylov_dtype=jnp.float32, max_niter=20, M=multigrid2d()))(u0s)
-    log(f"MG-PCG stats: solved={bool(info.solved)} outer={int(info.stats.outer_iterations)} "
+        krylov_dtype=jnp.float32, max_niter=20, M=fft_poisson()))(u0s)
+    log(f"DST-PCG stats: solved={bool(info.solved)} outer={int(info.stats.outer_iterations)} "
         f"inner={int(info.stats.inner_iterations)}")
 
     print(json.dumps({

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from .mg import probe_5point
@@ -60,12 +61,42 @@ def _idst2(x):
     return idst1(idst1(x, 0), 1)
 
 
-def fft_poisson(shift: str = "mean") -> Callable:
+def sine_basis(n: int, dtype=jnp.float32):
+    """Symmetric DST-I basis matrix S, S_{kj} = sin(π(k+1)(j+1)/(n+1)).
+
+    S = Sᵀ and S·S = (n+1)/2·I, so the inverse transform is S scaled by
+    2/(n+1).
+    """
+    j = jnp.arange(1, n + 1, dtype=dtype)
+    return jnp.sin(jnp.pi * j[:, None] * j[None, :] / (n + 1))
+
+
+# FFT-vs-MXU crossover. DST-I of size n needs a length-2(n+1) FFT — never a
+# power of two, so XLA falls back to Bluestein, which measures ~3.9 ms per
+# 1024² M⁻¹ apply on a v5e-class chip; four n³ sine-basis matmuls on the MXU
+# do the same apply in ~0.28 ms (HIGHEST precision). The matmul's n³ cost
+# overtakes the FFT's n²log n only past ~8k, comfortably above this cutoff.
+_MATMUL_MAX_N = 4096
+
+
+def fft_poisson(shift: str = "mean", method: str = "auto") -> Callable:
     """Preconditioner factory: exact DST inverse of o·S + d̄·I.
 
     ``shift`` selects the constant d̄ absorbed into the eigenvalues:
     ``"mean"`` (default) or ``"none"`` (pure Laplacian inverse).
+
+    ``method`` selects the transform engine:
+
+    * ``"matmul"`` — DST-I as sine-basis matmuls on the MXU. This is the
+      TPU-native path: one M⁻¹ apply is four n³ matmuls + an eigenvalue
+      scale, all in ``Precision.HIGHEST`` (~5e-5 relative transform error —
+      far below what an approximate inverse needs).
+    * ``"fft"`` — odd-extension FFT path (the textbook formulation; lengths
+      2(n+1) hit Bluestein on TPU, ~14× slower at 1024²).
+    * ``"auto"`` (default) — matmul for sides ≤ 4096, FFT above.
     """
+    if method not in ("auto", "matmul", "fft"):
+        raise ValueError(f"unknown method {method!r}")
 
     def factory(J: JacobianOperator):
         o, d = probe_5point(J)
@@ -77,8 +108,29 @@ def fft_poisson(shift: str = "mean") -> Callable:
         lam = o * (ci[:, None] + cj[None, :] - 4.0) + (dbar + 4.0 * o)
         safe = jnp.where(jnp.abs(lam) > 1e-30, lam, 1.0)
 
-        def apply(r):
-            return _idst2(_dst2(r) / safe.astype(r.dtype))
+        use_matmul = method == "matmul" or (
+            method == "auto" and max(n, m) <= _MATMUL_MAX_N
+        )
+        if use_matmul:
+            hi = jax.lax.Precision.HIGHEST
+            norm = (2.0 / (n + 1)) * (2.0 / (m + 1))
+            # Bases hoisted to the factory (once per Newton iteration) in the
+            # probe dtype; the per-apply cast inside the Krylov loop is a
+            # loop-invariant XLA hoists.
+            Sr0 = sine_basis(n, d.dtype)
+            Sc0 = sine_basis(m, d.dtype)
+
+            def apply(r):
+                Sr, Sc = Sr0.astype(r.dtype), Sc0.astype(r.dtype)
+                rh = jnp.dot(jnp.dot(Sr, r, precision=hi), Sc, precision=hi)
+                rh = rh / safe.astype(r.dtype)
+                out = jnp.dot(jnp.dot(Sr, rh, precision=hi), Sc, precision=hi)
+                return out * jnp.asarray(norm, r.dtype)
+
+        else:
+
+            def apply(r):
+                return _idst2(_dst2(r) / safe.astype(r.dtype))
 
         return apply
 

