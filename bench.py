@@ -167,12 +167,14 @@ def main():
         log(f"JFNK refined {ns}x{ns} to 1e-8 [{tag}]: marginal {max(t3-t1,0)/2*1e3:.1f} ms/solve "
             f"(single-call wall {t1:.3f}s incl. tunnel overhead)")
 
-    # convergence facts for the record (one verification run)
-    u, info = jax.jit(lambda u0: newton_krylov_jit(
-        bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
-        krylov_dtype=jnp.float32, max_niter=20, M=fft_poisson()))(u0s)
-    log(f"DST-PCG stats: solved={bool(info.solved)} outer={int(info.stats.outer_iterations)} "
-        f"inner={int(info.stats.inner_iterations)}")
+    # convergence facts for the record: every timed preconditioner lane is
+    # backed by a solved=True verification run (ADVICE r1)
+    for tag, M in (("MG-PCG", multigrid2d()), ("DST-PCG", fft_poisson())):
+        u, info = jax.jit(lambda u0, M=M: newton_krylov_jit(
+            bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
+            krylov_dtype=jnp.float32, max_niter=20, M=M))(u0s)
+        log(f"{tag} stats: solved={bool(info.solved)} outer={int(info.stats.outer_iterations)} "
+            f"inner={int(info.stats.inner_iterations)}")
 
     print(json.dumps({
         "metric": "bratu2d_jv_matvecs_per_s_chip",

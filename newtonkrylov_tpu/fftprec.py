@@ -8,14 +8,18 @@ discrete sine basis, so
     λ_{ij} = o·(2cos(iπ/(n+1)) + 2cos(jπ/(n+1))) + d̄,
 
 with ``d̄`` the mean diagonal (the variable part of d is what CG mops up).
-One application is four batched FFTs plus an eigenvalue scale — a handful of
+One application is, on the default (``method="auto"``, n ≤ 4096) path, four
+sine-basis **matmuls on the MXU** (the DST-I matrix applied from both sides,
+transform and inverse) plus an eigenvalue scale; above the crossover it
+falls back to odd-extension batched FFTs.  Either way it is a handful of
 *large* XLA ops, the shape that runs at full efficiency on TPU (contrast
 multigrid's ~100 small ops per V-cycle, docs/design.md "Measured dead
 ends").  For the Bratu/heat family the preconditioned CG typically needs
 <10 iterations per Newton step, resolution-independent.
 
 Coefficients (o, d) are probed exactly as in :mod:`newtonkrylov_tpu.mg`
-(6 JVPs).  Like the other factories, invoked per Newton iteration.
+(one batched 6-probe sweep).  Like the other factories, invoked per Newton
+iteration.
 """
 
 from __future__ import annotations

@@ -46,7 +46,7 @@ from . import solvers
 from .forcing import EisenstatWalker, Forcing
 from .operator import JacobianOperator
 from .spaces import EuclideanSpace, VectorSpace
-from .tree import tree_axpy, tree_sub, tree_where
+from .tree import tree_axpy, tree_size, tree_sub, tree_where
 
 __all__ = ["Stats", "NewtonInfo", "newton_krylov", "newton_krylov_jit", "NewtonOptions"]
 
@@ -66,6 +66,22 @@ class NewtonInfo(NamedTuple):
     stats: Stats
     t: Any
     history: Any = None  # residual-norm trace (jit driver / opt-in)
+
+
+# Krylov.jl's inner GMRES default is NON-restarted: the workspace grows until
+# convergence (src/Ariadne.jl:318,338 delegate to Krylov.krylov_workspace /
+# krylov_solve! whose gmres has restart=false).  XLA needs a static basis, so
+# the drivers default to ONE full cycle of basis size min(n, 100): iteration
+# counts match non-restarted GMRES exactly whenever the inner solve converges
+# within the basis (in practice always, under inexact-Newton forcing), and
+# the solve restarts — rather than aborting — beyond it.  Pass
+# ``krylov_kwargs={"restart": ...}`` to override.  See docs/parity.md.
+_PARITY_GMRES_BASIS = 100
+
+
+def _gmres_parity_default(krylov_kwargs: dict, algo: str, example_res) -> None:
+    if algo in ("gmres", "fgmres") and "restart" not in krylov_kwargs:
+        krylov_kwargs["restart"] = min(tree_size(example_res), _PARITY_GMRES_BASIS)
 
 
 def _resolve_forcing(forcing):
@@ -149,6 +165,7 @@ def newton_krylov(
 
     t0 = time.perf_counter()
     res = outer_res(u0)
+    _gmres_parity_default(krylov_kwargs, algo, res)
     n_res = float(space.norm(res))
     if callback is not None:
         callback(u0, res, n_res)
@@ -315,6 +332,7 @@ def newton_krylov_jit(
             return space.norm(F(u, p))
 
     res0 = F(u0, p)
+    _gmres_parity_default(krylov_kwargs, algo, res0)
     n_res0 = outer_norm(u0)
     dtype = n_res0.dtype
     tol = tol_rel * n_res0 + tol_abs

@@ -163,3 +163,45 @@ def test_dispatch_menu():
         res = solve(algo, lambda v: A @ v, b, rtol=1e-10)
         assert bool(res.converged), algo
         np.testing.assert_allclose(res.x, x_true, rtol=1e-4, err_msg=algo)
+
+
+def test_gmres_restart_vs_full_parity_pin():
+    """Pin iteration counts of restarted vs non-restarted GMRES (docs/parity.md).
+
+    Krylov.jl's default is non-restarted; the Newton drivers therefore default
+    to a single full cycle (newton._PARITY_GMRES_BASIS).  This pin catches the
+    default drifting back to restarted semantics: on a 1-D Laplace system the
+    two modes need visibly different iteration counts.
+    """
+    from newtonkrylov_tpu.newton import _PARITY_GMRES_BASIS
+
+    n = 64
+    main = jnp.full(n, -2.0, jnp.float64)
+    b = jnp.sin(jnp.arange(n, dtype=jnp.float64))
+
+    def Aop(v):
+        return main * v + jnp.pad(v[1:], (0, 1)) + jnp.pad(v[:-1], (1, 0))
+
+    full = gmres(Aop, b, restart=None, itmax=min(n, _PARITY_GMRES_BASIS), rtol=1e-10)
+    restarted = gmres(Aop, b, restart=20, rtol=1e-10)
+    assert bool(full.converged)
+    # full GMRES on 1-D Laplace converges in exactly n steps (Krylov dim = n)
+    assert int(full.niter) == n
+    # GMRES(20) stagnates: exhausts itmax=2n over ceil(2n/20) cycles, unconverged
+    assert not bool(restarted.converged)
+    assert int(restarted.niter) == 140
+
+    # the Newton drivers' default inner solve equals the non-restarted count
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.forcing import Fixed
+
+    def F(u, p):
+        return Aop(u) - b
+
+    _, info_default = newton_krylov_jit(F, jnp.zeros(n), forcing=Fixed(1e-10))
+    assert int(info_default.stats.outer_iterations) == 1
+    assert int(info_default.stats.inner_iterations) == int(full.niter)
+    _, info_restarted = newton_krylov_jit(
+        F, jnp.zeros(n), forcing=Fixed(1e-10), krylov_kwargs={"restart": 20}
+    )
+    assert int(info_restarted.stats.inner_iterations) > int(full.niter)
