@@ -29,24 +29,29 @@ from jax.experimental.pallas import tpu as pltpu
 sys.path.insert(0, ".")
 from newtonkrylov_tpu.kernels import stencil2d as K  # noqa: E402
 
-N = 2048
-KL, KS = 2000, 200
+# N=1024: the probe measures RELATIVE per-op costs (scale by elements for
+# other sizes); at 2048 the dynamic-k loop variants exceed the 128 MB VMEM.
+N = 1024
+KL, KS = 4000, 400
 REPEATS = 4
 
 
 def _chain_call(step_builder, v, w, k, pingpong=False):
-    """Run k dependent steps of step_builder(w)(x) with x VMEM-resident."""
+    """Run k dependent steps of step_builder(w)(x) with x VMEM-resident.
+
+    ``k`` is a RUNTIME scalar (SMEM) so short/long chains share one compile —
+    tunnel-remote Mosaic compiles cost minutes each.
+    """
+    k = jnp.asarray(k, jnp.int32).reshape(1)
 
     if not pingpong:
-        def kernel(v_ref, w_ref, o_ref):
+        def kernel(k_ref, v_ref, w_ref, o_ref):
             step = step_builder(w_ref[:], o_ref.shape)
-            o_ref[:] = lax.fori_loop(0, k, lambda i, x: step(x), v_ref[:])
+            o_ref[:] = lax.fori_loop(0, k_ref[0], lambda i, x: step(x), v_ref[:])
 
         scratch = []
     else:
-        assert k % 2 == 0
-
-        def kernel(v_ref, w_ref, o_ref, s_ref):
+        def kernel(k_ref, v_ref, w_ref, o_ref, s_ref):
             step = step_builder(w_ref[:], o_ref.shape)
 
             def body(i, _):
@@ -55,16 +60,22 @@ def _chain_call(step_builder, v, w, k, pingpong=False):
                 return 0
 
             o_ref[:] = v_ref[:]
-            lax.fori_loop(0, k // 2, body, 0)
+            lax.fori_loop(0, k_ref[0] // 2, body, 0)
 
         scratch = [pltpu.VMEM(v.shape, v.dtype)]
 
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(v.shape, v.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
-    )(v, w)
+    )(k, v, w)
 
 
 SELECT = sys.argv[1:] if len(sys.argv) > 1 else None
@@ -73,20 +84,19 @@ SELECT = sys.argv[1:] if len(sys.argv) > 1 else None
 def time_variant(name, step_builder, v, w, **kw):
     if SELECT is not None and not any(s in name for s in SELECT):
         return float("nan")
-    fs = jax.jit(lambda a, b: jnp.sum(_chain_call(step_builder, a, b, KS, **kw)))
-    fl = jax.jit(lambda a, b: jnp.sum(_chain_call(step_builder, a, b, KL, **kw)))
-    float(fs(v, w)); float(fl(v, w))
+    f = jax.jit(lambda a, b, k: jnp.sum(_chain_call(step_builder, a, b, k, **kw)))
+    float(f(v, w, KS)); float(f(v, w, KL))
 
-    def best(f):
+    def best(k):
         ts = []
         for r in range(REPEATS):
             vr = v * (1.0 + 1e-5 * (r + 1))
             t0 = time.perf_counter()
-            float(f(vr, w))
+            float(f(vr, w, k))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    us = (best(fl) - best(fs)) / (KL - KS) * 1e6
+    us = (best(KL) - best(KS)) / (KL - KS) * 1e6
     print(f"{name:34s} {us:8.3f} us/step", flush=True)
     return us
 
@@ -195,6 +205,29 @@ def main():
 
         return step
 
+    def min_build(wm, shape):
+        """Minimal op count: masks·nb + wm4s·x with wm4s pre-masked+scaled.
+
+        4 rolls + 3 adds + 1 mul + 1 fma per step; BC+scale folded into the
+        two precomputed coefficient arrays.
+        """
+        rows = lax.broadcasted_iota(jnp.int32, shape, 0)
+        cols = lax.broadcasted_iota(jnp.int32, shape, 1)
+        mask = ((rows < N) & (cols >= 1) & (cols <= N)).astype(jnp.float32)
+        masks = mask * s
+        wm4s = masks * (wm - 4.0)
+        one = jnp.asarray(1, jnp.int32)
+
+        def step(x):
+            up = pltpu.roll(x, shift=one, axis=0)
+            dn = pltpu.roll(x, shift=jnp.asarray(shape[0] - 1, jnp.int32), axis=0)
+            left = pltpu.roll(x, shift=one, axis=1)
+            right = pltpu.roll(x, shift=jnp.asarray(shape[1] - 1, jnp.int32), axis=1)
+            return masks * ((up + dn) + (left + right)) + wm4s * x
+
+        return step
+
+    t_min = time_variant("stencil minimal pingpong", min_build, v, w, pingpong=True)
     t_cur = time_variant("stencil r1 formulation", cur_build, v, w)
     t_opt = time_variant("stencil hoisted+fused", opt_build, v, w)
     t_optpp = time_variant("stencil hoisted pingpong", opt_build, v, w, pingpong=True)

@@ -33,7 +33,14 @@ import jax.numpy as jnp
 
 from .tree import tree_size, tree_zeros_like
 
-__all__ = ["JacobianOperator", "AdjointOperator", "materialize_dense", "materialize_banded"]
+__all__ = [
+    "JacobianOperator",
+    "AdjointOperator",
+    "materialize_dense",
+    "materialize_banded",
+    "materialize_csr",
+    "stencil_coloring",
+]
 
 
 class LinearOperator:
@@ -207,3 +214,58 @@ def materialize_banded(J: JacobianOperator, lower: int, upper: int):
         vals = outs[color, idx]
         diags.append(jnp.where(valid, vals, 0.0))
     return jnp.array(offsets), jnp.stack(diags)
+
+
+def stencil_coloring(offsets) -> int:
+    """Smallest stripe period c such that all offsets are distinct mod c.
+
+    Probing with stripes eₖ = Σ_j δ_{j mod c, k} recovers column j = i + off
+    from output k = j mod c without aliasing iff no two pattern offsets share
+    a residue.  For contiguous bands this is the bandwidth; for a 2-D 5-point
+    pattern ``(-m, -1, 0, 1, m)`` it is typically 5–7 — the flattened-index
+    generalization of the (i + 2j) mod 5 grid coloring in ``mg.probe_5point``.
+    """
+    offs = sorted({int(o) for o in offsets})
+    c = len(offs)
+    while len({o % c for o in offs}) < len(offs):
+        c += 1
+    return c
+
+
+def materialize_csr(J: LinearOperator, offsets):
+    """Colored probing → CSR ``(indptr, cols, vals)`` at O(nnz) memory.
+
+    General-sparsity replacement for the reference's ``collect(J)``
+    (src/Ariadne.jl:140-162, consumed by the ILU recipe at
+    examples/bratu.jl:121-128): instead of N single-column probes or a dense
+    (N, N) ``jacfwd`` intermediate, run :func:`stencil_coloring`-many batched
+    JVPs and scatter them into the pattern.  ``offsets`` are the
+    flattened-index column offsets of the sparsity pattern, e.g. ``(-1, 0, 1)``
+    for a tridiagonal stencil or ``(-m, -1, 0, 1, m)`` for a row-major 2-D
+    5-point stencil with m columns.
+
+    Like :func:`materialize_banded`, correctness requires the true sparsity
+    to be contained in ``offsets`` — entries outside the pattern would alias
+    onto it.  Returns NumPy arrays (host-side consumers: ILU, scipy).
+    """
+    import numpy as np
+
+    offs = np.asarray(sorted({int(o) for o in offsets}))
+    c = stencil_coloring(offs)
+    flat_u, unravel_u = jax.flatten_util.ravel_pytree(J.u)
+    n = flat_u.size
+    idx = jnp.arange(n)
+    probes = jnp.stack([(idx % c == k).astype(flat_u.dtype) for k in range(c)])
+
+    def apply(e):
+        return _flatten(J.mv(unravel_u(e)))
+
+    outs = np.asarray(jax.vmap(apply)(probes))  # (c, M)
+
+    i = np.arange(n)
+    cols2d = i[:, None] + offs[None, :]                    # (n, k) pattern columns
+    valid = (cols2d >= 0) & (cols2d < n)
+    vals2d = outs[np.where(valid, cols2d, 0) % c, i[:, None]]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    indptr[1:] = np.cumsum(valid.sum(axis=1))
+    return indptr, cols2d[valid].astype(np.int64), vals2d[valid]

@@ -34,7 +34,7 @@ import numpy as np
 from jax import lax
 
 from . import solvers
-from .operator import JacobianOperator, materialize_banded
+from .operator import JacobianOperator, materialize_banded, materialize_csr
 
 __all__ = ["nested_krylov", "jacobi", "banded_direct", "banded_lu", "ilu0", "thomas_solve"]
 
@@ -248,37 +248,40 @@ def _load_native():
     return native.load_ilu()
 
 
-def ilu0(bandwidth: Optional[int] = None) -> Callable:
+def ilu0(bandwidth: Optional[int] = None, offsets=None) -> Callable:
     """Factory: host-side ILU(0) of the materialized Jacobian.
 
     The literal TPU-era analogue of ``N = (J) -> ilu(collect(J))``
-    (examples/bratu.jl:121-128): materialize (banded probing if ``bandwidth``
-    given, dense ``jacfwd`` otherwise), factorize on host (C++ kernel via
-    ctypes when built, NumPy otherwise), apply by sparse triangular solves.
+    (examples/bratu.jl:121-128).  Materialization, cheapest first:
 
-    Host-side by construction — pair with the Python-stepped driver.  The
-    factory's ``host_side`` attribute marks it so ``newton_krylov`` disables
-    step jitting.
+    * ``offsets`` (flattened-index sparsity pattern, e.g. ``(-1, 0, 1)`` or
+      ``(-m, -1, 0, 1, m)``): colored-probe CSR at **O(nnz) memory** and
+      :func:`~newtonkrylov_tpu.operator.stencil_coloring`-many batched JVPs —
+      use this at scale (the reference's recipe operates at N = 10⁴,
+      examples/bratu.jl:40,121-128, where a dense intermediate is 800 MB);
+    * ``bandwidth``: contiguous band, colored probing via
+      ``materialize_banded``;
+    * neither: dense ``jacfwd`` (small systems only).
+
+    Factorization runs on host (C++ kernel via ctypes when built, NumPy
+    otherwise); application is sparse triangular solves behind
+    ``pure_callback``.  Host-side by construction — pair with the
+    Python-stepped driver.  The factory's ``host_side`` attribute marks it so
+    ``newton_krylov`` disables step jitting.
     """
     native = _load_native()
 
     def factory(J: JacobianOperator):
-        if bandwidth is not None:
-            offsets, diags = materialize_banded(J, bandwidth, bandwidth)
-            n = diags.shape[1]
-            A = np.zeros((n, n))
-            offs = np.asarray(offsets)
-            dg = np.asarray(diags)
-            for off, dvals in zip(offs, dg):
-                if off < 0:
-                    idx = np.arange(-off, n)
-                    A[idx, idx + off] = dvals[-off:]
-                else:
-                    idx = np.arange(0, n - off)
-                    A[idx, idx + off] = dvals[: n - off]
+        if offsets is not None:
+            indptr, cols, vals = materialize_csr(J, offsets)
         else:
-            A = np.asarray(J.materialize())
-        indptr, cols, vals = _dense_to_csr(A)
+            if bandwidth is not None:
+                indptr, cols, vals = materialize_csr(
+                    J, range(-bandwidth, bandwidth + 1)
+                )
+            else:
+                A = np.asarray(J.materialize())
+                indptr, cols, vals = _dense_to_csr(A)
         if native is not None:
             vals_f, diag = native.factorize(indptr, cols, vals)
             solve = lambda b: native.solve(indptr, cols, vals_f, diag, b)

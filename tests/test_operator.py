@@ -116,3 +116,52 @@ def test_materialize_banded_tridiagonal():
         expect = jnp.diagonal(dense, off)
         got = diag[max(0, -off): n - max(0, off)] if off < 0 else diag[: n - off]
         np.testing.assert_allclose(got, expect, rtol=1e-12)
+
+
+def test_stencil_coloring_minimal_periods():
+    from newtonkrylov_tpu.operator import stencil_coloring
+
+    assert stencil_coloring((-1, 0, 1)) == 3
+    assert stencil_coloring(range(-2, 3)) == 5
+    # 2-D 5-point at m=100: {-100,-1,0,1,100} needs only 6 colors, not 201
+    assert stencil_coloring((-100, -1, 0, 1, 100)) == 6
+    c = stencil_coloring((-64, -1, 0, 1, 64))
+    offs = [-64, -1, 0, 1, 64]
+    assert len({o % c for o in offs}) == len(offs)
+
+
+def test_materialize_csr_matches_dense_tridiagonal():
+    from newtonkrylov_tpu.operator import materialize_csr
+    from newtonkrylov_tpu.problems import bratu1d
+
+    n = 64
+    p = bratu1d.default_config(n, lam=2.0)
+    J = JacobianOperator(bratu1d.residual, bratu1d.initial_guess(n), p)
+    indptr, cols, vals = materialize_csr(J, (-1, 0, 1))
+    dense = np.asarray(materialize_dense(J))
+    rebuilt = np.zeros_like(dense)
+    for i in range(n):
+        for jj in range(indptr[i], indptr[i + 1]):
+            rebuilt[i, cols[jj]] = vals[jj]
+    np.testing.assert_allclose(rebuilt, dense, atol=1e-12)
+    assert indptr[-1] == 3 * n - 2  # O(nnz), no dense intermediate
+
+
+def test_materialize_csr_matches_dense_5point():
+    from newtonkrylov_tpu.operator import materialize_csr
+    from newtonkrylov_tpu.problems import bratu2d
+
+    m = 12
+    p = bratu2d.default_config(m, lam=1.5)
+    u0 = bratu2d.initial_guess(m)
+
+    def flatres(u, pp):
+        return bratu2d.residual_scaled(u.reshape(m, m), pp).reshape(-1)
+
+    J = JacobianOperator(flatres, u0.reshape(-1), p)
+    indptr, cols, vals = materialize_csr(J, (-m, -1, 0, 1, m))
+    dense = np.asarray(materialize_dense(J))
+    rebuilt = np.zeros_like(dense)
+    for i in range(m * m):
+        rebuilt[i, cols[indptr[i]: indptr[i + 1]]] = vals[indptr[i]: indptr[i + 1]]
+    np.testing.assert_allclose(rebuilt, dense, atol=1e-12)
