@@ -1,0 +1,92 @@
+"""Weak-scaling evidence harness (VERDICT r1 weak #6) → SCALING_r02.json.
+
+Runs the halo-exchange stencil-JVP weak-scaling sweep over virtual CPU
+device meshes (8/16/32 forced host devices; each device count needs its own
+process since XLA fixes the device count at backend init) plus one 2-D-mesh
+point.  On CPU this validates the COMMUNICATION STRUCTURE (fixed collective
+count per matvec, constant local work) rather than ICI bandwidth — virtual
+devices share host memory bandwidth, so wall-clock efficiency under weak
+scaling is bounded by core/bandwidth contention, not by the algorithm.  The
+structural facts (ppermute/psum counts independent of mesh size) are
+regression-tested in tests/test_scaling_structure.py; on a real pod slice
+this same harness measures true efficiency.
+
+Usage: python benchmarks/run_scaling.py  (writes SCALING_r02.json at repo
+root)
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from newtonkrylov_tpu.utils.scaling import weak_scaling_matvec, weak_scaling_matvec_2d
+
+mode = sys.argv[1]
+if mode == "1d":
+    counts = [int(c) for c in sys.argv[2].split(",")]
+    pts = weak_scaling_matvec(local_n=256, device_counts=counts, chain=100)
+    out = [p._asdict() for p in pts]
+else:
+    di, dj = (int(x) for x in sys.argv[2].split(","))
+    p = weak_scaling_matvec_2d(local_n=256, mesh_shape=(di, dj), chain=100)
+    out = [p._asdict()]
+print("RESULT " + json.dumps(out))
+"""
+
+
+def run_child(n_devices: int, mode: str, arg: str):
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={n_devices}"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c", _CHILD, mode, arg],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1200,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"child failed (ndev={n_devices}):\n{r.stdout}\n{r.stderr}")
+
+
+def main():
+    results = {"note": (
+        "virtual CPU devices: validates communication structure / constant "
+        "local work, not ICI bandwidth (see module docstring)"), "points_1d": [],
+        "points_2d": []}
+
+    # 1-D row-decomposition sweep within each forced device count
+    for ndev, counts in ((8, "1,2,4,8"), (16, "16",), (32, "32",)):
+        pts = run_child(ndev, "1d", counts)
+        results["points_1d"].extend(pts)
+        print(f"ndev={ndev}: " + ", ".join(
+            f"{p['n_devices']}dev {p['matvecs_per_s']:.0f}/s" for p in pts))
+
+    base = results["points_1d"][0]["matvecs_per_s"]
+    for p in results["points_1d"]:
+        p["efficiency"] = p["matvecs_per_s"] / base
+
+    # 2-D mesh point (2x4): 4-ppermute exchange topology
+    pts2 = run_child(8, "2d", "2,4")
+    for p in pts2:
+        p["efficiency"] = p["matvecs_per_s"] / base
+    results["points_2d"].extend(pts2)
+    print(f"2d mesh 2x4: {pts2[0]['matvecs_per_s']:.0f}/s")
+
+    out = os.path.join(REPO, "SCALING_r02.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

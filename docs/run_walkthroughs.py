@@ -1,0 +1,45 @@
+"""Execute every ```python block in docs/walkthrough_*.md top-to-bottom.
+
+The Literate.jl/doctest analogue (the reference renders & runs all examples
+and notebooks on every docs build, /root/reference/docs/make.jl:42-59,90):
+each walkthrough's code blocks share one namespace and must run — and their
+embedded assertions must hold — for CI to pass.
+
+Usage: python docs/run_walkthroughs.py [name ...]
+"""
+
+import glob
+import os
+import re
+import sys
+
+DOCS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(DOCS))
+
+BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
+
+
+def run(path: str) -> None:
+    src = open(path).read()
+    blocks = BLOCK.findall(src)
+    ns = {"__name__": f"walkthrough:{os.path.basename(path)}"}
+    print(f"== {os.path.basename(path)} ({len(blocks)} blocks)")
+    for i, block in enumerate(blocks):
+        code = compile(block, f"{path}[block {i}]", "exec")
+        exec(code, ns)
+    print(f"   OK")
+
+
+def main():
+    names = sys.argv[1:]
+    paths = sorted(glob.glob(os.path.join(DOCS, "walkthrough_*.md")))
+    if names:
+        paths = [p for p in paths if any(n in p for n in names)]
+    if not paths:
+        raise SystemExit("no walkthroughs matched")
+    for p in paths:
+        run(p)
+
+
+if __name__ == "__main__":
+    main()

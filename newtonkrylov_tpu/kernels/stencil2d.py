@@ -245,31 +245,55 @@ def stencil_jvp_pallas(v, w, n: int, T: int = 256):
     return _call_stencil(v, w, n, T, nonlinear=False, scale=0.0)
 
 
-def _chain_kernel(v_ref, w_ref, o_ref, *, k, n, scale):
+def _chain_kernel(v_ref, w_ref, o_ref, s_ref, *, k, n, scale):
     """k dependent stencil-JVP applies with the state VMEM-resident throughout.
 
     x ← (lap(x) + w·x)·scale, masked to the interior each step (the mask both
     applies the Dirichlet BC and keeps the ghost ring/apron zero so the
     wrap-around of ``pltpu.roll`` reads zeros, i.e. the correct ghosts).
+
+    Two measured optimizations over the round-1 formulation (cost model in
+    benchmarks/kernel_probe.py; numbers at 2048² f32 on the bench chip):
+
+    * **Ping-pong refs, not a fori_loop carry.**  A loop carry costs one full
+      VMEM-bandwidth array copy per step (the entire 23.2 → 19.1 µs/matvec
+      gap); the body instead alternates writes between the output ref and a
+      scratch ref (never stepping in place — rolls read neighboring tiles,
+      and o may alias v via input_output_aliases).
+    * **Hoisted diagonal + per-double-step scale.**  ``w−4`` is computed once
+      outside the loop, and the two steps of each body apply scale as
+      (1, s²) instead of (s, s) — one fewer VPU op per step each
+      (19.1 → 17.7 µs/matvec).  Equal to per-step scaling in exact
+      arithmetic; intermediates transiently grow by ≤ ρ(J̃) ≈ 8, far inside
+      f32 range.
     """
     R, C = o_ref.shape
     rows = lax.broadcasted_iota(jnp.int32, (R, C), 0)
     cols = lax.broadcasted_iota(jnp.int32, (R, C), 1)
     mask = (rows < n) & (cols >= 1) & (cols <= n)
-    w = w_ref[:]
+    w4 = w_ref[:] - 4.0
     one = jnp.asarray(1, jnp.int32)
-    s = jnp.asarray(scale, w.dtype)
-    zero = jnp.zeros((), w.dtype)
+    s = jnp.asarray(scale, w4.dtype)
+    zero = jnp.zeros((), w4.dtype)
 
-    def step(_, x):
+    def raw(x):
         up = pltpu.roll(x, shift=one, axis=0)
         dn = pltpu.roll(x, shift=jnp.asarray(R - 1, jnp.int32), axis=0)
         left = pltpu.roll(x, shift=one, axis=1)
         right = pltpu.roll(x, shift=jnp.asarray(C - 1, jnp.int32), axis=1)
-        out = up + dn + left + right + (w - 4.0) * x
-        return jnp.where(mask, out * s, zero)
+        return up + dn + left + right + w4 * x
 
-    o_ref[:] = lax.fori_loop(0, k, step, v_ref[:])
+    o_ref[:] = v_ref[:]
+
+    def body(i, _):
+        s_ref[:] = jnp.where(mask, raw(o_ref[:]), zero)
+        o_ref[:] = jnp.where(mask, raw(s_ref[:]) * (s * s), zero)
+        return 0
+
+    lax.fori_loop(0, k // 2, body, 0)
+    if k % 2 == 1:  # k is static
+        s_ref[:] = jnp.where(mask, raw(o_ref[:]) * s, zero)
+        o_ref[:] = s_ref[:]
 
 
 @functools.partial(jax.jit, static_argnames=("n", "k", "scale"))
@@ -293,6 +317,7 @@ def stencil_jvp_chain_pallas(v, w, n: int, k: int, scale: float = 1.0):
         kernel,
         out_shape=jax.ShapeDtypeStruct((R, C), v.dtype),
         input_output_aliases={0: 0},
+        scratch_shapes=[pltpu.VMEM((R, C), v.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024,
         ),

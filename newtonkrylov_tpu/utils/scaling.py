@@ -22,7 +22,7 @@ from jax.sharding import PartitionSpec as P
 from ..halo import exchange_2d, make_mesh, shard_array
 from .profiling import time_chain
 
-__all__ = ["ScalingPoint", "weak_scaling_matvec"]
+__all__ = ["ScalingPoint", "weak_scaling_matvec", "weak_scaling_matvec_2d"]
 
 
 class ScalingPoint(NamedTuple):
@@ -91,3 +91,42 @@ def weak_scaling_matvec(
             )
         )
     return points
+
+
+def weak_scaling_matvec_2d(
+    local_n: int = 512,
+    mesh_shape: tuple = (2, 4),
+    chain: int = 200,
+    repeats: int = 3,
+    dtype=jnp.float32,
+) -> ScalingPoint:
+    """One weak-scaling point over a 2-D ``(i, j)`` device mesh.
+
+    Both grid dimensions are sharded, so the ghost exchange runs 4 ppermutes
+    (±rows over ``i``, ±cols over ``j``) — the communication topology of a
+    pod-slice domain decomposition where the 2-D mesh keeps ICI hops
+    nearest-neighbor.
+    """
+    di, dj = mesh_shape
+    mesh = make_mesh((di, dj), ("i", "j"))
+    u = jnp.ones((local_n * di, local_n * dj), dtype)
+    w = jnp.ones((local_n * di, local_n * dj), dtype) * 0.1
+
+    def matvec_local(v, wl):
+        vp = exchange_2d(v, ("i", "j"), "dirichlet")
+        return _stencil_jvp_local(vp, wl)
+
+    spec = P("i", "j")
+    matvec_global = jax.shard_map(
+        matvec_local, mesh=mesh, in_specs=(spec, spec), out_specs=spec,
+        check_vma=False,
+    )
+    us = shard_array(u, mesh, spec)
+    ws = shard_array(w, mesh, spec)
+    rate = time_chain(matvec_global, us, ws, chain=chain, repeats=repeats)
+    return ScalingPoint(
+        n_devices=di * dj,
+        global_n=local_n * di,
+        matvecs_per_s=rate,
+        efficiency=float("nan"),  # single point; caller anchors it
+    )
