@@ -83,7 +83,8 @@ def sine_basis(n: int, dtype=jnp.float32):
 _MATMUL_MAX_N = 4096
 
 
-def fft_poisson(shift: str = "mean", method: str = "auto") -> Callable:
+def fft_poisson(shift: str = "mean", method: str = "auto",
+                precision: str = "highest") -> Callable:
     """Preconditioner factory: exact DST inverse of o·S + d̄·I.
 
     ``shift`` selects the constant d̄ absorbed into the eigenvalues:
@@ -93,14 +94,24 @@ def fft_poisson(shift: str = "mean", method: str = "auto") -> Callable:
 
     * ``"matmul"`` — DST-I as sine-basis matmuls on the MXU. This is the
       TPU-native path: one M⁻¹ apply is four n³ matmuls + an eigenvalue
-      scale, all in ``Precision.HIGHEST`` (~5e-5 relative transform error —
-      far below what an approximate inverse needs).
+      scale.
     * ``"fft"`` — odd-extension FFT path (the textbook formulation; lengths
       2(n+1) hit Bluestein on TPU, ~14× slower at 1024²).
     * ``"auto"`` (default) — matmul for sides ≤ 4096, FFT above.
+
+    ``precision`` sets the matmul precision.  ``"highest"`` (default) is the
+    multi-pass f32 MXU mode (~5e-5 transform error); ``"default"`` is the
+    single-pass mode (bf16 inputs, f32 accumulate) — ~3× faster per apply
+    but **measured a net loss**: the ~0.1–1% transform error degrades the
+    preconditioner enough that 2-D Bratu at 1024² needs 51 inner iterations
+    instead of 9 and the refined solve is ~2× slower overall.  Both modes
+    keep M exactly symmetric (the same rounded basis on both sides of the
+    diagonal scale), so PCG is well-defined either way.
     """
     if method not in ("auto", "matmul", "fft"):
         raise ValueError(f"unknown method {method!r}")
+    if precision not in ("default", "highest"):
+        raise ValueError(f"unknown precision {precision!r}")
 
     def factory(J: JacobianOperator):
         o, d = probe_5point(J)
@@ -116,7 +127,8 @@ def fft_poisson(shift: str = "mean", method: str = "auto") -> Callable:
             method == "auto" and max(n, m) <= _MATMUL_MAX_N
         )
         if use_matmul:
-            hi = jax.lax.Precision.HIGHEST
+            hi = (jax.lax.Precision.HIGHEST if precision == "highest"
+                  else jax.lax.Precision.DEFAULT)
             norm = (2.0 / (n + 1)) * (2.0 / (m + 1))
             # Bases hoisted to the factory (once per Newton iteration) in the
             # probe dtype; the per-apply cast inside the Krylov loop is a
