@@ -17,6 +17,7 @@ kernel), scalar-sum output synced with float(), inputs perturbed per repeat
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -30,13 +31,15 @@ sys.path.insert(0, ".")
 from newtonkrylov_tpu.kernels import stencil2d as K  # noqa: E402
 
 # N=1024: the probe measures RELATIVE per-op costs (scale by elements for
-# other sizes); at 2048 the dynamic-k loop variants exceed the 128 MB VMEM.
-N = 1024
-KL, KS = 4000, 400
+# other sizes); at 2048 some non-ping-pong dynamic-k variants exceed the
+# 128 MB VMEM — select ping-pong variants only (argv) when overriding via
+# KP_N=2048.
+N = int(os.environ.get("KP_N", "1024"))
+KL, KS = (4000, 400) if N <= 1024 else (2000, 200)
 REPEATS = 4
 
 
-def _chain_call(step_builder, v, w, k, pingpong=False):
+def _chain_call(step_builder, v, w, k, pingpong=False, unroll=1):
     """Run k dependent steps of step_builder(w)(x) with x VMEM-resident.
 
     ``k`` is a RUNTIME scalar (SMEM) so short/long chains share one compile —
@@ -55,12 +58,13 @@ def _chain_call(step_builder, v, w, k, pingpong=False):
             step = step_builder(w_ref[:], o_ref.shape)
 
             def body(i, _):
-                s_ref[:] = step(o_ref[:])
-                o_ref[:] = step(s_ref[:])
+                for _ in range(unroll):  # static unroll: 2·unroll steps/body
+                    s_ref[:] = step(o_ref[:])
+                    o_ref[:] = step(s_ref[:])
                 return 0
 
             o_ref[:] = v_ref[:]
-            lax.fori_loop(0, k_ref[0] // 2, body, 0)
+            lax.fori_loop(0, k_ref[0] // (2 * unroll), body, 0)
 
         scratch = [pltpu.VMEM(v.shape, v.dtype)]
 
@@ -231,6 +235,10 @@ def main():
     t_cur = time_variant("stencil r1 formulation", cur_build, v, w)
     t_opt = time_variant("stencil hoisted+fused", opt_build, v, w)
     t_optpp = time_variant("stencil hoisted pingpong", opt_build, v, w, pingpong=True)
+    time_variant("stencil hoisted pingpong u2", opt_build, v, w, pingpong=True,
+                 unroll=2)
+    time_variant("stencil hoisted pingpong u4", opt_build, v, w, pingpong=True,
+                 unroll=4)
     t_nr = time_variant("stencil rolls->muls pingpong", noroll_build, v, w,
                         pingpong=True)
     t_curpp = time_variant("stencil r1 pingpong", cur_build, v, w, pingpong=True)

@@ -17,7 +17,7 @@ Public API parity: the reference exports exactly ``newton_krylov`` and
 (one XLA program).
 """
 
-from . import fftprec, mg, precond, problems, timestep
+from . import df32, fftprec, mg, precond, problems, timestep
 from .implicit import make_implicit_solver
 from .forcing import EisenstatWalker, Fixed, Forcing
 from .newton import NewtonInfo, Stats, newton_krylov, newton_krylov_jit
@@ -57,6 +57,7 @@ __all__ = [
     "ShardedSpace",
     "integrate",
     "integrate_scan",
+    "df32",
     "fftprec",
     "make_implicit_solver",
     "mg",

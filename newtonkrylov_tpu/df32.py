@@ -1,0 +1,269 @@
+"""Double-float ("df32") arithmetic: ~f64 accuracy from paired f32 on the VPU.
+
+TPU has no f64 datapath; XLA emulates it, and the emulation measures 15-20×
+the f32 cost standalone and far worse inside ``lax.while_loop`` bodies
+(benchmarks/solve_bisect.py, benchmarks/while_anatomy.py).  The refined
+Newton driver needs high precision in exactly one place — the *acceptance*
+residual and its norm (docs/design.md "Precision strategy") — so this module
+provides classic double-word arithmetic (Dekker 1971; Hida/Li/Bailey QD;
+CUDA's df64 idiom) built from f32 VPU ops: error-free transforms
+(``two_sum``, ``two_prod`` via Dekker splitting — TPU/XLA exposes no fma),
+double-word add/mul, and an accurate ``exp``.
+
+A df32 value is a pair ``(hi, lo)`` of same-shape f32 arrays with
+``hi = fl(hi+lo)`` (normalized); it represents ``hi + lo`` with ~49
+effective mantissa bits (unit roundoff ~2⁻⁴⁸ ≈ 3.6e-15 for products/sums,
+slightly larger through ``exp``).  That is enough to drive ‖F‖ to the
+1e-8·‖F₀‖ target of BASELINE.md without any f64 tensor op inside the hot
+loop: the residual's *cancellation* (the stencil's neighbors−4u at O(Δx²))
+happens error-free in the two-sum chains, after which the f32 norm of
+``hi`` is exact to f32 roundoff — which is all a convergence test needs.
+
+Used by :func:`newtonkrylov_tpu.problems.bratu2d.residual_scaled_df` and the
+``newton_krylov_jit(..., residual_df=...)`` refined path.  The reference has
+no analogue (Julia has hardware f64); this is the TPU-native answer to the
+same requirement, cf. the complex-step JFNK reference the upstream docs cite
+(docs/src/refs.bib: Kan2022) solving the same "residual accuracy floors the
+Newton tolerance" problem.
+
+.. warning:: **Backend requirement: strict IEEE f32 arithmetic.**  XLA:CPU's
+   default fast-math applies the non-IEEE rewrite ``x·y₁ + x·y₂ →
+   x·(y₁+y₂)``, which silently voids the two_sum invariant (the c·lo word of
+   a constant is folded away; an ``optimization_barrier`` does NOT survive —
+   the barrier expander runs before the late simplifier passes).  On CPU set
+   ``XLA_FLAGS=--xla_cpu_enable_fast_math=false`` (tests/conftest.py does).
+   The TPU compiler is bit-exact for these patterns (verified on v5e).
+   :func:`selfcheck` detects a value-breaking backend at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+__all__ = [
+    "DF", "two_sum", "fast_two_sum", "two_prod",
+    "df_from_f64", "df_to_f64", "df_from_f32", "tree_add_f32",
+    "add", "add_f32", "sub", "neg", "mul", "mul_f32", "exp", "norm_hi",
+    "selfcheck",
+]
+
+
+class DF(NamedTuple):
+    """A double-float array: represents ``hi + lo``, normalized."""
+
+    hi: jax.Array
+    lo: jax.Array
+
+
+def two_sum(a, b):
+    """Error-free transform: a+b = s+e exactly (Knuth, 6 flops)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def fast_two_sum(a, b):
+    """Error-free a+b = s+e, REQUIRES |a| >= |b| (Dekker, 3 flops)."""
+    s = a + b
+    e = b - (s - a)
+    return s, e
+
+
+_SPLIT = 4097.0  # 2^12 + 1 for f32 (24-bit mantissa -> 12/12 split)
+
+
+def _split(a):
+    c = _SPLIT * a
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def two_prod(a, b):
+    """Error-free a·b = p+e exactly (Dekker splitting; no fma on TPU/XLA)."""
+    p = a * b
+    ahi, alo = _split(a)
+    bhi, blo = _split(b)
+    e = ((ahi * bhi - p) + ahi * blo + alo * bhi) + alo * blo
+    return p, e
+
+
+def df_from_f64(x) -> DF:
+    """Split an f64 array (or pytree) into a normalized df32 pair.
+
+    Boundary op only — also accepts f32 input (lo = 0).  ``DF(hi, lo)``
+    holds two parallel pytrees, so a DF of a tree state is itself a pytree.
+    """
+    hi = jax.tree.map(lambda l: l.astype(jnp.float32), x)
+    lo = jax.tree.map(
+        lambda l, h: (l - h.astype(l.dtype)).astype(jnp.float32), x, hi
+    )
+    return DF(hi, lo)
+
+
+def df_to_f64(x: DF):
+    return jax.tree.map(
+        lambda h, l: h.astype(jnp.float64) + l.astype(jnp.float64), x.hi, x.lo
+    )
+
+
+def df_from_f32(x) -> DF:
+    return DF(x, jax.tree.map(jnp.zeros_like, x))
+
+
+def tree_add_f32(u: DF, t) -> DF:
+    """u + t over parallel pytrees, t a plain-f32 tree (exact two-sum update).
+
+    The refined Newton step ``u ← u − d`` with a df32-carried state: each
+    leaf runs two_sum(hi, t) then folds lo and renormalizes (~10 flops).
+    """
+    def leaf(h, l, b):
+        s, e = two_sum(h, b)
+        e = e + l
+        return DF(*fast_two_sum(s, e))
+
+    pairs = jax.tree.map(leaf, u.hi, u.lo, t)
+    is_df = lambda x: isinstance(x, DF)  # noqa: E731
+    return DF(
+        jax.tree.map(lambda p: p.hi, pairs, is_leaf=is_df),
+        jax.tree.map(lambda p: p.lo, pairs, is_leaf=is_df),
+    )
+
+
+def add(a: DF, b: DF) -> DF:
+    """Double-word + double-word (accurate variant, ~20 flops)."""
+    s, e = two_sum(a.hi, b.hi)
+    t, f = two_sum(a.lo, b.lo)
+    e = e + t
+    s, e = fast_two_sum(s, e)
+    e = e + f
+    return DF(*fast_two_sum(s, e))
+
+
+def add_f32(a: DF, b) -> DF:
+    """Double-word + single f32 (~10 flops)."""
+    s, e = two_sum(a.hi, b)
+    e = e + a.lo
+    return DF(*fast_two_sum(s, e))
+
+
+def neg(a: DF) -> DF:
+    return DF(-a.hi, -a.lo)
+
+
+def sub(a: DF, b: DF) -> DF:
+    return add(a, neg(b))
+
+
+def mul(a: DF, b: DF) -> DF:
+    """Double-word × double-word (~25 flops)."""
+    p, e = two_prod(a.hi, b.hi)
+    e = e + (a.hi * b.lo + a.lo * b.hi)
+    return DF(*fast_two_sum(p, e))
+
+
+def mul_f32(a: DF, b) -> DF:
+    """Double-word × single f32."""
+    p, e = two_prod(a.hi, b)
+    e = e + a.lo * b
+    return DF(*fast_two_sum(p, e))
+
+
+# -- exp ----------------------------------------------------------------------
+# Range reduction x = k·ln2 + r, |r| ≤ ln2/2, with ln2 split so k·LN2_HI is
+# exact for |k| < 2^11; e^r by a degree-12 Taylor evaluated in df32 (term_13 =
+# r^13/13! ≤ 1.6e-13 at |r| = ln2/2, below the df32 target); scale by 2^k via
+# exponent-field bitcast.  Matches f64 exp to ~1e-12 relative while the
+# RESULT's lo word stays in the f32 normal range (|x| ≲ ~60; for strongly
+# negative x the accuracy floors gracefully toward plain-f32 as e^x·2⁻²⁵
+# goes subnormal/flushes — tests/test_df32.py pins both regimes).
+
+_LN2_HI = np.float32(0.693145751953125)        # 21 bits, exact ·k for k<2^11
+_LN2_LO = np.float32(1.4286068203094172e-06)
+_INV_LN2 = np.float32(1.4426950408889634)
+
+# 1/n! for n = 2..12, each as a df32 (hi, lo) pair — a plain-f32 coefficient
+# for 1/3! alone injects ~4e-10 relative error into e^r
+import math as _math
+
+_FACT_INV = []
+for _n in range(2, 13):
+    _c = 1.0 / _math.factorial(_n)
+    _chi = np.float32(_c)
+    _FACT_INV.append((_chi, np.float32(_c - float(_chi))))
+del _n, _c, _chi
+
+
+def _ldexp(x, k):
+    """x · 2^k for integer array k (|k| bounded by the f32 exponent range)."""
+    bits = ((k + 127) << 23).astype(jnp.int32)
+    return x * lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def exp(a: DF) -> DF:
+    """Double-word e^a (elementwise)."""
+    x = a.hi + a.lo
+    k = jnp.round(x * _INV_LN2)
+    ki = k.astype(jnp.int32)
+    # r = a - k·ln2, exactly in df32 (k·LN2_HI exact; LN2_LO correction dd)
+    r = add(a, DF(-k * _LN2_HI, -k * _LN2_LO))
+
+    # e^r = 1 + r·(1 + r·P(r)), P(r) = 1/2! + r/3! + … + r¹⁰/12!  (Horner,
+    # df32 throughout, df32 coefficients)
+    chi, clo = _FACT_INV[-1]
+    acc = DF(jnp.full_like(r.hi, chi), jnp.full_like(r.hi, clo))
+    for chi, clo in reversed(_FACT_INV[:-1]):
+        acc = add(mul(acc, r), DF(jnp.full_like(r.hi, chi),
+                                  jnp.full_like(r.hi, clo)))
+    acc = add_f32(mul(acc, r), np.float32(1.0))    # 1 + r·P
+    acc = mul(acc, r)                               # r + r²·P
+    acc = add_f32(acc, np.float32(1.0))             # 1 + r + r²·P
+
+    # clamp k to the safe exponent window (|a| ≤ ~80 in any sane residual)
+    ki = jnp.clip(ki, -126, 126)
+    return DF(_ldexp(acc.hi, ki), _ldexp(acc.lo, ki))
+
+
+def selfcheck() -> bool:
+    """True iff the backend preserves the error-free transforms under jit.
+
+    Runs the known-dangerous pattern (two products sharing a factor, summed
+    by two_sum) through ``jax.jit`` and compares against a strict host-side
+    IEEE evaluation.  Returns False on a backend whose simplifier folds the
+    low word away (e.g. XLA:CPU with its default fast-math — see the module
+    warning); call this before trusting a ``residual_df`` solve on a new
+    platform.
+    """
+    c1 = np.float32(0.00118305636)
+    c2 = np.float32(0.00118305636 - float(c1))
+    xn = np.linspace(1.0, 4.0, 64, dtype=np.float32)
+
+    def f(x):
+        s, e = two_sum(x * c1, x * c2)
+        return s, e
+
+    s_j, e_j = jax.jit(f)(jnp.asarray(xn))
+    # The criterion is VALUE preservation: s+e ≈ fl(x·c1)+fl(x·c2) in f64.
+    # A strict-IEEE backend may restructure the pair (error ≤ ulp₃₂ of the
+    # tiny e word, ~1e-17 here); the fast-math factor-and-fold rewrite loses
+    # ALL of the c2 product (~1e-10 here) — 7 decades apart, so threshold at
+    # 1% of the c2 contribution.
+    a = (xn * c1).astype(np.float32).astype(np.float64)
+    b = (xn * c2).astype(np.float32).astype(np.float64)
+    got = np.asarray(s_j).astype(np.float64) + np.asarray(e_j).astype(np.float64)
+    return bool(np.max(np.abs(got - (a + b))) < 0.01 * np.max(np.abs(b)))
+
+
+def norm_hi(r: DF):
+    """f32 2-norm of a df32 residual.
+
+    Once the residual VALUE is accurate (its cancellation resolved in the
+    two-sum chains), the norm needs only f32 relative accuracy — ``hi`` is
+    fl(r) so ‖hi‖ matches ‖r‖ to f32 roundoff.
+    """
+    return jnp.linalg.norm(r.hi)

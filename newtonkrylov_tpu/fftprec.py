@@ -24,10 +24,12 @@ iteration.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .mg import probe_5point
 from .operator import JacobianOperator
@@ -65,14 +67,30 @@ def _idst2(x):
     return idst1(idst1(x, 0), 1)
 
 
+@functools.lru_cache(maxsize=8)
+def _sine_basis_np(n: int, dtype_name: str):
+    # Host-side f64 construction with exact integer argument reduction:
+    # sin(π k j/(n+1)) depends only on (k·j) mod 2(n+1), so the f64 argument
+    # never exceeds 2π and the table is accurate to the target dtype's eps
+    # (a traced f32 k·j product loses ~1e2·eps of phase at n=1024, which was
+    # a measurable share of the DST preconditioner's 5e-5 transform error).
+    idx = np.arange(1, n + 1, dtype=np.int64)
+    phase = (idx[:, None] * idx[None, :]) % (2 * (n + 1))
+    return np.sin(np.pi * phase.astype(np.float64) / (n + 1)).astype(dtype_name)
+
+
 def sine_basis(n: int, dtype=jnp.float32):
     """Symmetric DST-I basis matrix S, S_{kj} = sin(π(k+1)(j+1)/(n+1)).
 
     S = Sᵀ and S·S = (n+1)/2·I, so the inverse transform is S scaled by
     2/(n+1).
+
+    Built host-side (numpy, cached) so that under ``jit`` the table is an XLA
+    *constant* — loop-invariant by construction, never re-materialized inside
+    the Newton ``while_loop`` body (the traced-iota formulation re-evaluated
+    2n² sins every outer iteration unless XLA's LICM happened to hoist it).
     """
-    j = jnp.arange(1, n + 1, dtype=dtype)
-    return jnp.sin(jnp.pi * j[:, None] * j[None, :] / (n + 1))
+    return jnp.asarray(_sine_basis_np(n, jnp.dtype(dtype).name))
 
 
 # FFT-vs-MXU crossover. DST-I of size n needs a length-2(n+1) FFT — never a

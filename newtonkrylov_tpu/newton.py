@@ -294,6 +294,7 @@ def newton_krylov_jit(
     space: Optional[VectorSpace] = None,
     residual_dtype=None,
     krylov_dtype=None,
+    residual_df: Optional[Callable] = None,
 ):
     """Whole-solve-in-one-XLA-program Newton–Krylov.
 
@@ -319,10 +320,52 @@ def newton_krylov_jit(
       (f32/bf16 on the VPU/MXU).  One high-precision residual per outer
       iteration + cheap low-precision inner matvecs: converges to
       state-dtype floors at near-f32 speed.
+    * ``residual_df``: the TPU-native high-precision path — a df32
+      (double-float, :mod:`newtonkrylov_tpu.df32`) evaluation of the SAME
+      residual, ``residual_df(DF(u), p) -> DF``.  The state is carried as a
+      df32 pair, the acceptance residual and its norm run entirely in f32
+      VPU ops (no emulated-f64 tensor op anywhere in the loop body — XLA's
+      f64 emulation costs 15-80× f32 here, benchmarks/while_anatomy.py),
+      and the inner loop takes ``hi`` as its RHS.  Accepts and returns f64
+      state at the boundary when ``u0`` is f64.  Requires
+      ``krylov_dtype`` (defaulted to f32) and excludes ``residual_dtype``
+      and ``linesearch``.
     """
     space = space or EuclideanSpace()
     forcing = _resolve_forcing(forcing)
     krylov_kwargs = dict(krylov_kwargs or {})
+
+    if residual_df is not None:
+        from . import df32 as _dd
+
+        if residual_dtype is not None or linesearch is not None:
+            raise ValueError(
+                "residual_df excludes residual_dtype and linesearch"
+            )
+        if krylov_dtype is None:
+            krylov_dtype = jnp.float32
+        if not any(
+            isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(u0)
+        ):
+            # Always execute the df32 path as ONE jitted program.  Building
+            # it eagerly (standalone while-program compile on XLA:CPU)
+            # measurably loses the state's lo word at an f32-eps level that
+            # no isolated repro reproduces (benchmarks/while_*.py hunt);
+            # under a single jit the path is bit-stable and verified against
+            # the f64 oracle (tests/test_df32.py).  Re-traces per eager
+            # call; hot callers should jit the enclosing computation.
+            return jax.jit(
+                lambda u0_: newton_krylov_jit(
+                    F, u0_, p, tol_rel=tol_rel, tol_abs=tol_abs,
+                    max_niter=max_niter, forcing=forcing, algo=algo, M=M,
+                    N=N, krylov_kwargs=krylov_kwargs, linesearch=linesearch,
+                    space=space, residual_dtype=residual_dtype,
+                    krylov_dtype=krylov_dtype, residual_df=residual_df,
+                )
+            )(u0)
+        out_f64 = any(
+            jnp.dtype(l.dtype) == jnp.float64 for l in jax.tree.leaves(u0)
+        )
 
     if residual_dtype is not None:
         def outer_norm(u):
@@ -332,9 +375,15 @@ def newton_krylov_jit(
         def outer_norm(u):
             return space.norm(F(u, p))
 
-    res0 = F(u0, p)
-    _gmres_parity_default(krylov_kwargs, algo, res0)
-    n_res0 = outer_norm(u0)
+    if residual_df is not None:
+        u0 = _dd.df_from_f64(u0)
+        res0 = residual_df(u0, p)
+        _gmres_parity_default(krylov_kwargs, algo, res0.hi)
+        n_res0 = space.norm(res0.hi)
+    else:
+        res0 = F(u0, p)
+        _gmres_parity_default(krylov_kwargs, algo, res0)
+        n_res0 = outer_norm(u0)
     dtype = n_res0.dtype
     tol = tol_rel * n_res0 + tol_abs
     eta0 = jnp.asarray(forcing.initial() if forcing is not None else 0.0, dtype)
@@ -345,7 +394,12 @@ def newton_krylov_jit(
         return (c.n_res > tol) & (c.outer <= max_niter) & jnp.logical_not(c.blown)
 
     def body(c: _JitCarry):
-        if krylov_dtype is not None:
+        if residual_df is not None:
+            # df32 refined path: linearize at hi (f32), RHS = res.hi.
+            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u.hi)
+            J = JacobianOperator(F, u_low, p)
+            b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res.hi)
+        elif krylov_dtype is not None:
             # Iterative refinement: linearize + inner-solve in low precision,
             # RHS = high-precision residual cast down, update in state dtype.
             # The high-precision residual is CARRIED from the previous
@@ -367,6 +421,21 @@ def newton_krylov_jit(
         if forcing is not None:
             kw["rtol"] = c.eta.astype(jnp.result_type(*[l.dtype for l in jax.tree.leaves(b)]))
         result = solvers.solve(algo, J, b, **kw)
+        if residual_df is not None:
+            d32 = jax.tree.map(lambda l: l.astype(jnp.float32), result.x)
+            u_new = _dd.tree_add_f32(c.u, jax.tree.map(jnp.negative, d32))
+            res_new = residual_df(u_new, p)
+            n_new = space.norm(res_new.hi)
+            blown = jnp.logical_not(jnp.isfinite(n_new))
+            eta_new = (
+                forcing(c.eta, tol, n_new, c.n_res)
+                if forcing is not None else c.eta
+            )
+            hist = c.hist.at[c.outer + 1].set(n_new)
+            return _JitCarry(
+                u_new, res_new, n_new, eta_new, c.outer + 1,
+                c.inner + result.niter, hist, blown,
+            )
         if krylov_dtype is not None:
             state_dt = jnp.result_type(*[l.dtype for l in jax.tree.leaves(c.u)])
             d = jax.tree.map(lambda l: l.astype(state_dt), result.x)
@@ -409,4 +478,7 @@ def newton_krylov_jit(
         t=jnp.zeros((), dtype),  # wall-clock is a host concept; time outside jit
         history=fin.hist,
     )
+    if residual_df is not None:
+        u_out = _dd.df_to_f64(fin.u) if out_f64 else fin.u.hi
+        return u_out, info
     return fin.u, info

@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.stencil import laplacian_2d, pad_dirichlet
 
@@ -29,6 +30,7 @@ __all__ = [
     "default_config",
     "residual",
     "residual_scaled",
+    "residual_scaled_df",
     "residual_scaled_aligned",
     "aligned_setup",
     "initial_guess",
@@ -70,6 +72,49 @@ def residual_scaled(u, p: Params):
     up = pad_dirichlet(u)
     stencil = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2] - 4.0 * u
     return stencil + (p.dx * p.dx) * p.lam * jnp.exp(u)
+
+
+def residual_scaled_df(u, p: Params):
+    """Δx²-scaled residual in df32 double-float arithmetic.
+
+    ``u`` is a :class:`~newtonkrylov_tpu.df32.DF` pair; returns a ``DF``
+    residual whose ``hi`` is the residual to f32 *relative* accuracy — the
+    stencil's neighbors−4u cancellation is resolved error-free in two-sum
+    chains, so this replaces the f64 acceptance residual of the refined
+    driver at VPU-f32 speed (see df32 module docstring and
+    benchmarks/solve_bisect.py for why emulated f64 is avoided).
+    """
+    from .. import df32 as dd
+
+    hi = pad_dirichlet(u.hi)
+    lo = pad_dirichlet(u.lo)
+
+    def shift(di, dj):
+        return dd.DF(
+            hi[1 + di : hi.shape[0] - 1 + di, 1 + dj : hi.shape[1] - 1 + dj],
+            lo[1 + di : lo.shape[0] - 1 + di, 1 + dj : lo.shape[1] - 1 + dj],
+        )
+
+    s = dd.add(shift(1, 0), shift(-1, 0))
+    s = dd.add(s, dd.add(shift(0, 1), shift(0, -1)))
+    # −4u is exact in f32 (power-of-two scale): no two_prod needed
+    s = dd.add(s, dd.DF(-4.0 * u.hi, -4.0 * u.lo))
+
+    # c·eᵘ computed as e^(u + ln c): the constant enters through an EXACT
+    # df32 add instead of two products sharing the factor eᵘ — XLA:CPU's
+    # simplifier can fold ``x·c_hi + x·c_lo → x·fl(c_hi+c_lo)`` (losing the
+    # lo word) depending on fusion context, and no flag reliably stops it;
+    # an exponent shift has no such pattern (tests/test_df32.py pins the
+    # standalone-jit equivalence to the f64 residual).
+    import math
+
+    c2 = float(p.dx) * float(p.dx) * float(p.lam)
+    lnc = math.log(c2)
+    lnc_hi = np.float32(lnc)  # numpy: stays a Python-level constant
+    lnc_lo = np.float32(lnc - float(lnc_hi))
+    term = dd.exp(dd.add(u, dd.DF(jnp.full_like(u.hi, lnc_hi),
+                                  jnp.full_like(u.hi, lnc_lo))))
+    return dd.add(s, term)
 
 
 def residual_scaled_aligned(u, p: Params):

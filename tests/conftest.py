@@ -14,7 +14,13 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_enable_fast_math" not in _flags:
+    # XLA:CPU fast-math (default ON) applies non-IEEE rewrites that void the
+    # df32 error-free transforms (see newtonkrylov_tpu/df32.py warning); the
+    # TPU compiler needs no flag.
+    _flags = (_flags + " --xla_cpu_enable_fast_math=false").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
