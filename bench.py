@@ -13,8 +13,9 @@ returns a 4-byte scalar synced with float(), and fixed dispatch overhead is
 cancelled by differencing two chain lengths).
 
 Secondary numbers to stderr: per-path matvec timings (XLA pad-based vs fused
-Pallas) and the flagship mixed-precision solve — 2-D Bratu to
-‖F‖ ≤ 1e-8·‖F₀‖ via iterative refinement (f64 state/residual, f32 Krylov).
+Pallas) and the flagship mixed-precision solves — 2-D Bratu to
+‖F‖ ≤ 1e-8·‖F₀‖ at {512², 1024², 2048²} via df32 iterative refinement
+(paired-f32 acceptance residual, f32 Krylov inner loop; f64 in/out).
 """
 
 import json
@@ -47,13 +48,6 @@ def log(*a):
 
 def time_chain(fn, a, b):
     return _time_chain(fn, a, b, chain=CHAIN, repeats=REPEATS)
-
-
-def _best_wall(f, u0, r):
-    u = u0 * (1.0 + 1e-7 * (r + 1))
-    t0 = time.perf_counter()
-    float(f(u))
-    return time.perf_counter() - t0
 
 
 def main():
@@ -125,56 +119,67 @@ def main():
     log(f"roofline: stream axpy {1e6/sol_bw:.2f} us, 8-op VPU probe "
         f"{1e6/sol_vpu:.2f} us; best jvp at {100*frac:.1f}% of SoL")
 
-    # --- flagship solve: ||F|| <= 1e-8 by iterative refinement -------------
+    # --- flagship solves: ||F|| <= 1e-8 by df32 iterative refinement --------
     # Marginal (on-chip) solve time via chained-solve differencing: a single
     # call's wall is dominated by fixed tunnel dispatch (~0.9 s) regardless
-    # of work, so we difference programs running 1 vs 3 full solves, each
-    # from a data-dependent perturbation of u0 so no layer can dedupe.
+    # of work, so one program runs k solves (k a RUNTIME scalar — one
+    # compile per lane) from data-dependent perturbations of u0 so no layer
+    # can dedupe; we difference k=1 vs k=3.  State is carried as a df32 pair
+    # (f64 in/out): the acceptance residual runs in paired-f32 VPU ops, no
+    # emulated-f64 op anywhere in the loop (docs/design.md "Precision
+    # strategy" #3 — this took the 1024² DST lane from 34.7 to 6.2 ms).
     from newtonkrylov_tpu.fftprec import fft_poisson
     from newtonkrylov_tpu.mg import multigrid2d
 
-    ns = 1024
-    u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
-    ps = bratu2d.default_config(ns, lam=LAM)
+    def make_chain_solve(ns, M=None):
+        ps = bratu2d.default_config(ns, lam=LAM)
 
-    def make_chain_solve(k, M=None):
         @jax.jit
-        def f(u0):
+        def f(u0, k):
             def body(i, acc):
                 u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
                 u, info = newton_krylov_jit(
                     bratu2d.residual_scaled, u_in, ps,
                     algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
+                    residual_df=bratu2d.residual_scaled_df,
                     max_niter=20, M=M,
                 )
                 return acc + jnp.sum(u) + info.stats.inner_iterations
             return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float64))
         return f
 
-    for tag, M in (
-        ("plain CG", None),
-        ("MG-PCG", multigrid2d()),
-        ("DST-PCG", fft_poisson()),  # fast-Poisson via MXU sine-basis matmuls
-    ):
-        f1, f3 = make_chain_solve(1, M), make_chain_solve(3, M)
-        float(f1(u0s)); float(f3(u0s))
-        t1 = min(
-            _best_wall(f1, u0s, r) for r in range(2)
-        )
-        t3 = min(
-            _best_wall(f3, u0s, r + 2) for r in range(2)
-        )
-        log(f"JFNK refined {ns}x{ns} to 1e-8 [{tag}]: marginal {max(t3-t1,0)/2*1e3:.1f} ms/solve "
-            f"(single-call wall {t1:.3f}s incl. tunnel overhead)")
+    def _wall(f, u0, k, r):
+        u = u0 * (1.0 + 1e-7 * (r + 1))
+        t0 = time.perf_counter()
+        float(f(u, k))
+        return time.perf_counter() - t0
 
-    # convergence facts for the record: every timed preconditioner lane is
-    # backed by a solved=True verification run (ADVICE r1)
-    for tag, M in (("MG-PCG", multigrid2d()), ("DST-PCG", fft_poisson())):
-        u, info = jax.jit(lambda u0, M=M: newton_krylov_jit(
-            bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
-            krylov_dtype=jnp.float32, max_niter=20, M=M))(u0s)
-        log(f"{tag} stats: solved={bool(info.solved)} outer={int(info.stats.outer_iterations)} "
-            f"inner={int(info.stats.inner_iterations)}")
+    # Lanes: preconditioner x grid size (MG at 1024² only: its ~100-op
+    # V-cycle is dispatch-bound on this deployment, docs/design.md).
+    lanes = [("plain CG", None, (512, 1024, 2048)),
+             ("MG-PCG", multigrid2d(), (1024,)),
+             ("DST-PCG", fft_poisson(), (512, 1024, 2048))]
+    for tag, M, sizes in lanes:
+        for ns in sizes:
+            u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
+            ps = bratu2d.default_config(ns, lam=LAM)
+            f = make_chain_solve(ns, M)
+            float(f(u0s, 1)); float(f(u0s, 3))  # compile + warm
+            t1 = min(_wall(f, u0s, 1, r) for r in range(2))
+            t3 = min(_wall(f, u0s, 3, r + 2) for r in range(2))
+            ms = max(t3 - t1, 0.0) / 2 * 1e3
+            # convergence facts: every timed lane is backed by a
+            # solved=True verification run (ADVICE r1)
+            u, info = jax.jit(lambda u0, M=M, ps=ps: newton_krylov_jit(
+                bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
+                krylov_dtype=jnp.float32,
+                residual_df=bratu2d.residual_scaled_df,
+                max_niter=20, M=M))(u0s)
+            inner = int(info.stats.inner_iterations)
+            log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "
+                f"marginal {ms:.1f} ms/solve, solved={bool(info.solved)} "
+                f"outer={int(info.stats.outer_iterations)} inner={inner} "
+                f"({ms*1e3/max(inner,1):.0f} us/inner)")
 
     print(json.dumps({
         "metric": "bratu2d_jv_matvecs_per_s_chip",
