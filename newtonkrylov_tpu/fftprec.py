@@ -34,7 +34,49 @@ import numpy as np
 from .mg import probe_5point
 from .operator import JacobianOperator
 
-__all__ = ["dst1", "idst1", "fft_poisson"]
+__all__ = ["dst1", "idst1", "fft_poisson", "dst_poisson_solver"]
+
+
+def dst_poisson_solver(o, dbar, shape, dtype, method: str = "auto",
+                       precision: str = "highest"):
+    """Exact solver for (o·S + d̄·I) x = r on an (n, m) zero-Dirichlet grid.
+
+    Returns ``apply(r)`` diagonalizing in the 2-D sine basis; the transform
+    engine follows the same matmul/FFT selection as :func:`fft_poisson`.
+    Shared by the preconditioner factory and the two-grid coarse solve
+    (:func:`newtonkrylov_tpu.precond.two_grid`).
+    """
+    import jax as _jax
+
+    n, m = shape
+    ci = 2.0 * jnp.cos(jnp.pi * jnp.arange(1, n + 1) / (n + 1))
+    cj = 2.0 * jnp.cos(jnp.pi * jnp.arange(1, m + 1) / (m + 1))
+    lam = o * (ci[:, None] + cj[None, :] - 4.0) + (dbar + 4.0 * o)
+    safe = jnp.where(jnp.abs(lam) > 1e-30, lam, 1.0)
+
+    use_matmul = method == "matmul" or (
+        method == "auto" and max(n, m) <= _MATMUL_MAX_N
+    )
+    if use_matmul:
+        hi = (_jax.lax.Precision.HIGHEST if precision == "highest"
+              else _jax.lax.Precision.DEFAULT)
+        norm = (2.0 / (n + 1)) * (2.0 / (m + 1))
+        Sr0 = sine_basis(n, dtype)
+        Sc0 = sine_basis(m, dtype)
+
+        def apply(r):
+            Sr, Sc = Sr0.astype(r.dtype), Sc0.astype(r.dtype)
+            rh = jnp.dot(jnp.dot(Sr, r, precision=hi), Sc, precision=hi)
+            rh = rh / safe.astype(r.dtype)
+            out = jnp.dot(jnp.dot(Sr, rh, precision=hi), Sc, precision=hi)
+            return out * jnp.asarray(norm, r.dtype)
+
+    else:
+
+        def apply(r):
+            return _idst2(_dst2(r) / safe.astype(r.dtype))
+
+    return apply
 
 
 def dst1(x, axis: int = -1):
@@ -102,7 +144,7 @@ _MATMUL_MAX_N = 4096
 
 
 def fft_poisson(shift: str = "mean", method: str = "auto",
-                precision: str = "highest") -> Callable:
+                precision: str = "highest", axis_names=None) -> Callable:
     """Preconditioner factory: exact DST inverse of o·S + d̄·I.
 
     ``shift`` selects the constant d̄ absorbed into the eigenvalues:
@@ -125,6 +167,18 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
     instead of 9 and the refined solve is ~2× slower overall.  Both modes
     keep M exactly symmetric (the same rounded basis on both sides of the
     diagonal scale), so PCG is well-defined either way.
+
+    **Sharded use**: pass ``axis_names=(ax0, ax1)`` (mesh axis per array
+    dim) to run as a **block-Jacobi / additive-Schwarz** preconditioner
+    inside a shard_map body: each device DST-solves its *local* block with
+    zero-Dirichlet walls at shard seams — purely local, zero communication
+    per apply.  Unlike the sharded Chebyshev (global-operator polynomial,
+    single-device iteration counts), block-Jacobi pays an iteration-count
+    penalty that grows with the subdomain count (classical Schwarz theory;
+    tests/test_sharded_precond.py records it) but each apply is collective-
+    free — the right trade when ICI latency, not iteration count, binds.
+    The diagonal probe stays globally consistent via axis-index coloring
+    offsets (see :func:`~newtonkrylov_tpu.mg.probe_5point`).
     """
     if method not in ("auto", "matmul", "fft"):
         raise ValueError(f"unknown method {method!r}")
@@ -132,40 +186,22 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
         raise ValueError(f"unknown precision {precision!r}")
 
     def factory(J: JacobianOperator):
-        o, d = probe_5point(J)
+        if axis_names is not None:
+            import jax.lax as lax
+
+            ax0, ax1 = axis_names
+            nl, ml = J.u.shape
+            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
+            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            o, d = probe_5point(J, roff, coff)
+        else:
+            o, d = probe_5point(J)
         n, m = d.shape
         dbar = jnp.mean(d) if shift == "mean" else -4.0 * o
-        ci = 2.0 * jnp.cos(jnp.pi * jnp.arange(1, n + 1) / (n + 1))
-        cj = 2.0 * jnp.cos(jnp.pi * jnp.arange(1, m + 1) / (m + 1))
-        # S eigenvalues are ci+cj; A's constant part adds (dbar + 4o) - 4o = dbar
-        lam = o * (ci[:, None] + cj[None, :] - 4.0) + (dbar + 4.0 * o)
-        safe = jnp.where(jnp.abs(lam) > 1e-30, lam, 1.0)
-
-        use_matmul = method == "matmul" or (
-            method == "auto" and max(n, m) <= _MATMUL_MAX_N
-        )
-        if use_matmul:
-            hi = (jax.lax.Precision.HIGHEST if precision == "highest"
-                  else jax.lax.Precision.DEFAULT)
-            norm = (2.0 / (n + 1)) * (2.0 / (m + 1))
-            # Bases hoisted to the factory (once per Newton iteration) in the
-            # probe dtype; the per-apply cast inside the Krylov loop is a
-            # loop-invariant XLA hoists.
-            Sr0 = sine_basis(n, d.dtype)
-            Sc0 = sine_basis(m, d.dtype)
-
-            def apply(r):
-                Sr, Sc = Sr0.astype(r.dtype), Sc0.astype(r.dtype)
-                rh = jnp.dot(jnp.dot(Sr, r, precision=hi), Sc, precision=hi)
-                rh = rh / safe.astype(r.dtype)
-                out = jnp.dot(jnp.dot(Sr, rh, precision=hi), Sc, precision=hi)
-                return out * jnp.asarray(norm, r.dtype)
-
-        else:
-
-            def apply(r):
-                return _idst2(_dst2(r) / safe.astype(r.dtype))
-
-        return apply
+        # S eigenvalues are ci+cj; A's constant part adds (dbar + 4o) - 4o = dbar.
+        # Bases are hoisted to the factory (once per Newton iteration) in the
+        # probe dtype; per-apply casts inside the Krylov loop are
+        # loop-invariants XLA hoists.
+        return dst_poisson_solver(o, dbar, (n, m), d.dtype, method, precision)
 
     return factory

@@ -51,6 +51,7 @@ __all__ = [
     "exchange_2d",
     "sharded_residual_1d",
     "sharded_residual_2d",
+    "sharded_residual_df_2d",
     "newton_krylov_sharded",
     "integrate_scan_sharded",
     "shard_array",
@@ -152,16 +153,142 @@ def sharded_residual_1d(padded_residual: Callable, axis_name: str, bc: str = "di
     return F
 
 
+def _ghosts_2d(u, axis_names, bc):
+    """The four ghost strips (g_rlo, g_rhi: (1, ml); g_clo, g_chi: (nl, 1))."""
+    ax0, ax1 = axis_names
+    nl, ml = u.shape
+    dtype = u.dtype
+    if ax0 is not None:
+        g_rlo, g_rhi = _neighbor_ghosts(u[:1, :], u[-1:, :], ax0, bc)
+    elif bc == "dirichlet":
+        g_rlo = jnp.zeros((1, ml), dtype)
+        g_rhi = jnp.zeros((1, ml), dtype)
+    else:
+        g_rlo, g_rhi = u[-1:, :], u[:1, :]
+    if ax1 is not None:
+        g_clo, g_chi = _neighbor_ghosts(u[:, :1], u[:, -1:], ax1, bc)
+    elif bc == "dirichlet":
+        g_clo = jnp.zeros((nl, 1), dtype)
+        g_chi = jnp.zeros((nl, 1), dtype)
+    else:
+        g_clo, g_chi = u[:, -1:], u[:, :1]
+    return g_rlo, g_rhi, g_clo, g_chi
+
+
 def sharded_residual_2d(
     padded_residual: Callable,
     axis_names: Tuple[Optional[str], Optional[str]],
     bc: str = "dirichlet",
+    *,
+    overlap: bool = True,
 ) -> Callable:
     """Lift ``padded_residual(u_padded, p) -> res_local`` (e.g. a 5-point
-    stencil reading a (nl+2, ml+2) block) into a shard_map body."""
+    stencil reading a (nl+2, ml+2) block) into a shard_map body.
+
+    ``overlap=True`` (default) structures the dataflow so the *bulk* of the
+    local compute is independent of the ppermute ghost exchange: the whole
+    local block is evaluated immediately with zero ghosts (no collective on
+    its path — pinned by tests/test_halo_overlap.py's DCE check), and only
+    the four one-cell edge strips are re-evaluated once the neighbor edges
+    arrive.  XLA's latency-hiding scheduler can then run the ICI exchange
+    concurrently with the O(nl·ml) interior compute; the serialized ghost
+    dependency is reduced to O(nl+ml) strip work (the overlap BASELINE.md's
+    weak-scaling north star requires; SURVEY.md §5 "halo/domain axis").
+
+    The overlapped path re-applies ``padded_residual`` to 3-row/3-column
+    strips, so it requires a **radius-1 residual whose position dependence
+    enters only through per-gridpoint fields in** ``p`` (leaves shaped like
+    the local block are sliced to match each strip; scalars/odd-shaped
+    leaves pass through).  Every shipped stencil problem qualifies.  For
+    residuals that compute absolute position internally (e.g. from iota),
+    pass ``overlap=False`` to get the plain exchange-then-compute
+    formulation.
+    """
+
+    if not overlap:
+        def F(u, p):
+            return padded_residual(exchange_2d(u, axis_names, bc), p)
+
+        return F
 
     def F(u, p):
-        return padded_residual(exchange_2d(u, axis_names, bc), p)
+        nl, ml = u.shape
+        if nl < 2 or ml < 2:
+            # edge strips would need second-neighbor ghosts; fall back
+            return padded_residual(exchange_2d(u, axis_names, bc), p)
+        g_rlo, g_rhi, g_clo, g_chi = _ghosts_2d(u, axis_names, bc)
+
+        # Bulk: full local block with zero ghosts — NO collective dependency.
+        bulk = padded_residual(jnp.pad(u, 1), p)
+
+        def p_strip(r, c):
+            """Slice per-gridpoint fields of p to a strip's footprint."""
+            return jax.tree.map(
+                lambda l: l[r, c]
+                if hasattr(l, "shape") and getattr(l, "shape", None) == (nl, ml)
+                else l,
+                p,
+            )
+
+        full = slice(None)
+        z1 = jnp.zeros((1, 1), u.dtype)
+
+        # Each strip is a (1+2, ml+2) / (nl+2, 1+2) padded block whose single
+        # interior row/col is the edge being re-evaluated with true ghosts.
+        # Corners (ghost-row × ghost-col) are zeros — 5-point stencils never
+        # read them (same property exchange_2d exploits).
+        top = padded_residual(jnp.concatenate([
+            jnp.concatenate([z1, g_clo[0:2]], 0),
+            jnp.concatenate([g_rlo, u[0:2, :]], 0),
+            jnp.concatenate([z1, g_chi[0:2]], 0),
+        ], axis=1), p_strip(slice(0, 1), full))          # (1, ml)
+        bot = padded_residual(jnp.concatenate([
+            jnp.concatenate([g_clo[nl - 2:], z1], 0),
+            jnp.concatenate([u[nl - 2:, :], g_rhi], 0),
+            jnp.concatenate([g_chi[nl - 2:], z1], 0),
+        ], axis=1), p_strip(slice(nl - 1, nl), full))    # (1, ml)
+        left = padded_residual(jnp.concatenate([
+            jnp.concatenate([z1, g_rlo[:, 0:2]], 1),
+            jnp.concatenate([g_clo, u[:, 0:2]], 1),
+            jnp.concatenate([z1, g_rhi[:, 0:2]], 1),
+        ], axis=0), p_strip(full, slice(0, 1)))          # (nl, 1)
+        right = padded_residual(jnp.concatenate([
+            jnp.concatenate([g_rlo[:, ml - 2:], z1], 1),
+            jnp.concatenate([u[:, ml - 2:], g_chi], 1),
+            jnp.concatenate([g_rhi[:, ml - 2:], z1], 1),
+        ], axis=0), p_strip(full, slice(ml - 1, ml)))    # (nl, 1)
+
+        res = bulk.at[0, :].set(top[0])
+        res = res.at[nl - 1, :].set(bot[0])
+        res = res.at[:, 0].set(left[:, 0])
+        res = res.at[:, ml - 1].set(right[:, 0])
+        return res
+
+    return F
+
+
+def sharded_residual_df_2d(
+    padded_df_residual: Callable,
+    axis_names: Tuple[Optional[str], Optional[str]],
+    bc: str = "dirichlet",
+) -> Callable:
+    """Lift a df32 padded-residual core into a shard_map body.
+
+    ``padded_df_residual(up, u, p)`` takes the ghost-padded DF pair and the
+    interior DF (e.g.
+    :func:`~newtonkrylov_tpu.problems.bratu2d.residual_scaled_df_padded`).
+    The hi and lo words are halo-exchanged separately — exchange is pure
+    data movement, so the error-free two-sum chains see exactly the values
+    a single device would, and the df32 acceptance residual stays exact
+    under sharding.  Use as the ``residual_df`` of a
+    ``newton_krylov_sharded`` solve.
+    """
+    from .df32 import DF
+
+    def F(u_df, p):
+        up = DF(exchange_2d(u_df.hi, axis_names, bc),
+                exchange_2d(u_df.lo, axis_names, bc))
+        return padded_df_residual(up, u_df, p)
 
     return F
 

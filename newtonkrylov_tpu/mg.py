@@ -98,12 +98,19 @@ def vcycle(b, levels, level=0, *, omega=0.8, nu=2, coarse_sweeps=20):
     return _jacobi(u, b, o, d, omega, nu)
 
 
-def probe_5point(J: JacobianOperator):
+def probe_5point(J: JacobianOperator, row_offset=0, col_offset=0):
     """Extract (o, d) of a 5-point + diagonal operator by colored probing.
 
     One JVP with a single basis vector gives the off-diagonal coefficient;
     five JVPs with a (i + 2j) mod 5 coloring give the full diagonal field
     (no two entries of the 5-point stencil share a color under it).
+
+    Under ``shard_map`` the iotas index the *local* block; pass the block's
+    global origin as ``row_offset``/``col_offset`` (e.g.
+    ``lax.axis_index("i") * nl``) so the coloring stays globally consistent —
+    otherwise stripes misalign at shard boundaries and the same color can
+    touch stencil-adjacent cells across the seam, contaminating the probed
+    diagonal there.
     """
     u = J.u
     n, m = u.shape
@@ -111,8 +118,8 @@ def probe_5point(J: JacobianOperator):
 
     e = jnp.zeros((n, m), dtype).at[n // 2, m // 2].set(1.0)
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0) + row_offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1) + col_offset
     color = (rows + 2 * cols) % 5
     # All 6 probes (1 basis vector + 5 color stripes) in ONE batched J.mm
     # sweep — one linear-map traversal instead of six dispatches

@@ -31,6 +31,7 @@ __all__ = [
     "residual",
     "residual_scaled",
     "residual_scaled_df",
+    "residual_scaled_df_padded",
     "residual_scaled_aligned",
     "aligned_setup",
     "initial_guess",
@@ -86,8 +87,23 @@ def residual_scaled_df(u, p: Params):
     """
     from .. import df32 as dd
 
-    hi = pad_dirichlet(u.hi)
-    lo = pad_dirichlet(u.lo)
+    return residual_scaled_df_padded(
+        dd.DF(pad_dirichlet(u.hi), pad_dirichlet(u.lo)), u, p
+    )
+
+
+def residual_scaled_df_padded(up, u, p: Params):
+    """df32 residual core on a pre-padded DF block.
+
+    ``up`` is the (n+2, m+2) ghost-padded DF pair (ghosts from
+    :func:`~newtonkrylov_tpu.ops.stencil.pad_dirichlet` on one device, or
+    from per-word halo exchange in the sharded path —
+    :func:`newtonkrylov_tpu.halo.sharded_residual_df_2d`); ``u`` the
+    unpadded interior DF.
+    """
+    from .. import df32 as dd
+
+    hi, lo = up.hi, up.lo
 
     def shift(di, dj):
         return dd.DF(
