@@ -49,7 +49,8 @@ __all__ = [
     "DF", "two_sum", "fast_two_sum", "two_prod",
     "df_from_f64", "df_to_f64", "df_from_f32", "tree_add_f32",
     "add", "add_f32", "sub", "neg", "mul", "mul_f32", "exp", "norm_hi",
-    "selfcheck",
+    "df_map", "shift", "neighbor_sum", "scale_pow2", "scale_const",
+    "scaled_exp", "selfcheck",
 ]
 
 
@@ -227,6 +228,103 @@ def exp(a: DF) -> DF:
     # clamp k to the safe exponent window (|a| ≤ ~80 in any sane residual)
     ki = jnp.clip(ki, -126, 126)
     return DF(_ldexp(acc.hi, ki), _ldexp(acc.lo, ki))
+
+
+# -- stencil combinators --------------------------------------------------------
+# The building blocks for writing a problem's residual in df32 without
+# hand-deriving every error-free transform (VERDICT r2 weak #4): structural
+# ops apply to both words, shifts/sums run the two-sum chains, and constants
+# enter either exactly (powers of two), as df32-split factors, or through an
+# exponent shift (scaled_exp).  residual_scaled_df for bratu1d/bratu2d and
+# heat2d's rhs_df are assembled purely from these; each is pinned against the
+# f64 oracle in tests/test_df32_problems.py.
+
+
+def df_map(fn, a: DF) -> DF:
+    """Apply a *structurally exact* array op (pad, slice, reshape, concat,
+    transpose, negation) to both words.  The op must be exact on each f32
+    word individually — any op that rounds (general scaling, sums of
+    elements) breaks the normalized-pair invariant; use the dd arithmetic
+    for those."""
+    return DF(fn(a.hi), fn(a.lo))
+
+
+def shift(up: DF, *offsets: int) -> DF:
+    """Interior view of a ghost-padded block, shifted by ``offsets``.
+
+    ``up`` has one ghost cell per side on every axis (shape ``n_i + 2``);
+    ``shift(up, 1, 0)`` is the (n₀, n₁) slice displaced one cell along axis
+    0 — the df32 analogue of ``up[2:, 1:-1]`` in a padded-stencil residual.
+    Pure slicing: exact on both words.
+    """
+    def sl(w):
+        ix = tuple(
+            slice(1 + o, w.shape[ax] - 1 + o) for ax, o in enumerate(offsets)
+        )
+        return w[ix]
+
+    return df_map(sl, up)
+
+
+def neighbor_sum(up: DF, offsets) -> DF:
+    """Σ of unit-coefficient shifts of a padded block, in exact two-sum
+    chains — the ``padded-shift add chain`` at the heart of every stencil
+    residual.  ``offsets``: iterable of per-axis shift tuples, e.g. the 1-D
+    three-point neighbors ``[(-1,), (1,)]`` or the 2-D five-point
+    ``[(1, 0), (-1, 0), (0, 1), (0, -1)]``."""
+    terms = [shift(up, *off) for off in offsets]
+    s = terms[0]
+    for t in terms[1:]:
+        s = add(s, t)
+    return s
+
+
+def scale_pow2(a: DF, c) -> DF:
+    """c·a for a power-of-two constant (±1, ±2, ±4, 0.5, …) — exact in f32,
+    so both words scale with a plain multiply (the −4u term of a 5-point
+    stencil costs 2 flops, not a two_prod)."""
+    f = float(c)
+    m, e = np.frexp(f)
+    assert m in (0.5, -0.5) or f == 0.0, f"{c} is not a power of two"
+    return DF(c * a.hi, c * a.lo)
+
+
+def scale_const(a: DF, c: float) -> DF:
+    """c·a for a general host constant: c is split into an (hi, lo) f32 pair
+    and the product runs a double-word multiply, returned WITHOUT the final
+    renormalizing ``fast_two_sum``.  With a compile-time-constant multiplier
+    XLA:CPU's late LLVM pipeline reassociates that last 3-flop pattern to
+    ``(p+e, 0)`` — discarding the lo word — even with
+    ``--xla_cpu_enable_fast_math=false`` (measured: jit error jumps 1e-14 →
+    5e-8 on heat2d's a/Δx² constants; benchmarks/dst_precision_probe.py
+    session notes).  An un-normalized pair is a valid DF input to every
+    consumer here (``add``/``sub`` start with exact Knuth ``two_sum``, which
+    needs no magnitude ordering), so the renormalization is pure loss.
+    Accurate to ~2⁻⁴⁸ on strict-IEEE backends (TPU; CPU w/ fast-math off)."""
+    chi = np.float32(c)
+    clo = np.float32(float(c) - float(chi))
+    p, e = two_prod(a.hi, chi)
+    e = e + (a.hi * clo + a.lo * chi)
+    return DF(p, e)
+
+
+def scaled_exp(a: DF, c: float) -> DF:
+    """c·eᵃ for a host constant c ≠ 0, computed as ±e^(a + ln|c|).
+
+    The constant enters through an EXACT df32 add in the exponent instead of
+    two products sharing the factor eᵃ — no ``x·c_hi + x·c_lo`` pattern for
+    a fast-math simplifier to fold (see the module warning; this is how
+    bratu2d's Δx²λeᵘ term has always been assembled)."""
+    import math as m
+
+    cf = float(c)
+    assert cf != 0.0, "scaled_exp needs a nonzero constant"
+    lnc = m.log(abs(cf))
+    lnc_hi = np.float32(lnc)
+    lnc_lo = np.float32(lnc - float(lnc_hi))
+    out = exp(add(a, DF(jnp.full_like(a.hi, lnc_hi),
+                        jnp.full_like(a.hi, lnc_lo))))
+    return out if cf > 0 else neg(out)
 
 
 def selfcheck() -> bool:

@@ -58,8 +58,9 @@ def dst_poisson_solver(o, dbar, shape, dtype, method: str = "auto",
         method == "auto" and max(n, m) <= _MATMUL_MAX_N
     )
     if use_matmul:
-        hi = (_jax.lax.Precision.HIGHEST if precision == "highest"
-              else _jax.lax.Precision.DEFAULT)
+        hi = {"highest": _jax.lax.Precision.HIGHEST,
+              "high": _jax.lax.Precision.HIGH,
+              "default": _jax.lax.Precision.DEFAULT}[precision]
         norm = (2.0 / (n + 1)) * (2.0 / (m + 1))
         Sr0 = sine_basis(n, dtype)
         Sc0 = sine_basis(m, dtype)
@@ -160,13 +161,15 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
     * ``"auto"`` (default) — matmul for sides ≤ 4096, FFT above.
 
     ``precision`` sets the matmul precision.  ``"highest"`` (default) is the
-    multi-pass f32 MXU mode (~5e-5 transform error); ``"default"`` is the
-    single-pass mode (bf16 inputs, f32 accumulate) — ~3× faster per apply
-    but **measured a net loss**: the ~0.1–1% transform error degrades the
-    preconditioner enough that 2-D Bratu at 1024² needs 51 inner iterations
-    instead of 9 and the refined solve is ~2× slower overall.  Both modes
-    keep M exactly symmetric (the same rounded basis on both sides of the
-    diagonal scale), so PCG is well-defined either way.
+    six-pass f32 MXU mode (~5e-5 transform error); ``"high"`` is the
+    three-pass bf16x3 mode (~21 mantissa bits) — about half the MXU cost
+    with near-f32 accuracy; ``"default"`` is the single-pass mode (bf16
+    inputs, f32 accumulate) — ~3× faster per apply but **measured a net
+    loss**: the ~0.1–1% transform error degrades the preconditioner enough
+    that 2-D Bratu needs 49 inner iterations instead of 9 at 1024² (309 at
+    2048², benchmarks/dst_precision_probe.py).  All modes keep M exactly
+    symmetric (the same rounded basis on both sides of the diagonal scale),
+    so PCG is well-defined either way.
 
     **Sharded use**: pass ``axis_names=(ax0, ax1)`` (mesh axis per array
     dim) to run as a **block-Jacobi / additive-Schwarz** preconditioner
@@ -182,7 +185,7 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
     """
     if method not in ("auto", "matmul", "fft"):
         raise ValueError(f"unknown method {method!r}")
-    if precision not in ("default", "highest"):
+    if precision not in ("default", "high", "highest"):
         raise ValueError(f"unknown precision {precision!r}")
 
     def factory(J: JacobianOperator):

@@ -39,7 +39,9 @@ import time
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax
+import jax.flatten_util
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from . import solvers
@@ -84,12 +86,72 @@ def _gmres_parity_default(krylov_kwargs: dict, algo: str, example_res) -> None:
         krylov_kwargs["restart"] = min(tree_size(example_res), _PARITY_GMRES_BASIS)
 
 
+def _cast_floating(tree, dt):
+    """Cast floating-point array leaves to ``dt`` (ints/bools/host scalars
+    untouched).  Used on the user params ``p`` when linearizing for a
+    low-precision Krylov loop: params like a time-stepper's ``(uₙ, Δt)``
+    carry f64 arrays that would otherwise promote the residual — and the
+    whole inner loop — back to (emulated) f64."""
+    return jax.tree.map(
+        lambda l: l.astype(dt)
+        if isinstance(l, (jax.Array, np.ndarray)) and jnp.issubdtype(l.dtype, jnp.floating)
+        else l,
+        tree,
+    )
+
+
 def _resolve_forcing(forcing):
     if forcing is None:
         return None
     if isinstance(forcing, Forcing):
         return forcing
     raise TypeError(f"forcing must be a Forcing or None, got {forcing!r}")
+
+
+class _HostPrecondSlot:
+    """Jit-stable indirection for a host-side preconditioner factory.
+
+    The reference re-invokes preconditioner factories at every outer iteration
+    (src/Ariadne.jl:323-329).  A host-side factory (ILU/banded-LU
+    factorization) cannot be traced, but its *application* already crosses
+    into the compiled Krylov loop via ``pure_callback`` — so the factory is
+    the only host-bound piece.  This slot is the fixed apply the jitted step
+    traces ONCE; ``refresh`` swaps the factorization it dispatches to, outside
+    the jit boundary, each outer iteration.  Result: the Newton step (JVPs,
+    inner Krylov loop, update) stays one compiled program even with ILU
+    preconditioning, instead of falling back to fully eager stepping.
+    """
+
+    def __init__(self, factory):
+        self.factory = factory
+        self._solve = None  # flat np.ndarray -> np.ndarray, current factorization
+
+    def refresh(self, J: "JacobianOperator") -> None:
+        apply = self.factory(J)
+        host_solve = getattr(apply, "host_solve", None)
+        if host_solve is not None:
+            self._solve = host_solve
+        else:
+            # Generic fallback: run the factory's jax-level apply eagerly on
+            # host values (covers user factories marked host_side without a
+            # raw host_solve hook).
+            _, unravel = jax.flatten_util.ravel_pytree(J.u)
+
+            def eager_solve(flat, _apply=apply, _unravel=unravel):
+                out = _apply(_unravel(jnp.asarray(flat)))
+                return np.asarray(jax.flatten_util.ravel_pytree(out)[0])
+
+            self._solve = eager_solve
+
+    def _host(self, flat):
+        return np.asarray(self._solve(np.asarray(flat)), dtype=flat.dtype)
+
+    def __call__(self, x):
+        flat, unravel = jax.flatten_util.ravel_pytree(x)
+        out = jax.pure_callback(
+            self._host, jax.ShapeDtypeStruct(flat.shape, flat.dtype), flat
+        )
+        return unravel(out)
 
 
 def _armijo_step(F, p, space, u, d, res, n_res, sigma=1.0e-4, max_backtracks=8):
@@ -179,17 +241,24 @@ def newton_krylov(
             f"(rel={tol_rel} abs={tol_abs}) eta0={eta}"
         )
 
-    # Host-side factories (e.g. precond.ilu0) cannot be traced into the jitted
-    # step; jittable factories (nested_krylov, jacobi, banded_direct) can.
-    host_factories = any(
-        getattr(f, "host_side", False) for f in (M, N) if f is not None
-    )
+    # Host-side *factories* (e.g. precond.ilu0: factorization on concrete
+    # values) cannot be traced into the jitted step — but their application
+    # already crosses via pure_callback, so only the factory invocation must
+    # stay outside the jit.  _HostPrecondSlot gives the step a fixed apply to
+    # trace once; the slot is refreshed with a concrete JacobianOperator each
+    # outer iteration.  Jittable factories (nested_krylov, jacobi,
+    # banded_direct, chebyshev) are still invoked inside the step.
+    host_M = M is not None and getattr(M, "host_side", False)
+    host_N = N is not None and getattr(N, "host_side", False)
+    m_slot = _HostPrecondSlot(M) if host_M else None
+    n_slot = _HostPrecondSlot(N) if host_N else None
+    slots = [s for s in (m_slot, n_slot) if s is not None]
 
     def step(u, eta_val, rtol_override):
         """One Newton iteration: linearize, inner-solve, update."""
         if krylov_dtype is not None:
             u_low = _cast(u, krylov_dtype)
-            J = JacobianOperator(F, u_low, p)
+            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
             b = _cast(outer_res(u), krylov_dtype)
         else:
             J = JacobianOperator(F, u, p)
@@ -201,9 +270,9 @@ def newton_krylov(
         # iterations (d = 0, Newton stall) once ‖F‖ is small — fatal in f32.
         kw.setdefault("atol", 0.0)
         if N is not None:
-            kw["N"] = N(J)
+            kw["N"] = n_slot if host_N else N(J)
         if M is not None:
-            kw["M"] = M(J)
+            kw["M"] = m_slot if host_M else M(J)
         if forcing is not None:
             kw["rtol"] = rtol_override
         result = solvers.solve(algo, J, b, **kw)
@@ -224,13 +293,21 @@ def newton_krylov(
             n_new = space.norm(res_new)
         return u_new, res_new, n_new, result.niter
 
-    if jit_step and not host_factories:
+    if jit_step:
         step = jax.jit(step)
+    newton_krylov._last_step = step  # test seam: program-count hygiene checks
 
     u = u0
     stats = Stats(0, 0, n_res)
     solved = n_res <= tol
     while n_res > tol and stats.outer_iterations <= max_niter:
+        if slots:
+            # Re-factorize on the current linearization point (reference
+            # factory semantics) with a CONCRETE operator, outside the jit.
+            u_for_J = _cast(u, krylov_dtype) if krylov_dtype is not None else u
+            J_concrete = JacobianOperator(F, u_for_J, p)
+            for s in slots:
+                s.refresh(J_concrete)
         u, res, n_res_dev, niter = step(u, eta, eta if forcing is not None else None)
         n_res_prior = n_res
         n_res = float(n_res_dev)
@@ -396,8 +473,10 @@ def newton_krylov_jit(
     def body(c: _JitCarry):
         if residual_df is not None:
             # df32 refined path: linearize at hi (f32), RHS = res.hi.
+            # p's floating arrays cast down too (e.g. StepParams.un/dt) so
+            # the residual can't promote the inner loop back to f64.
             u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u.hi)
-            J = JacobianOperator(F, u_low, p)
+            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
             b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res.hi)
         elif krylov_dtype is not None:
             # Iterative refinement: linearize + inner-solve in low precision,
@@ -406,7 +485,7 @@ def newton_krylov_jit(
             # outer's acceptance eval instead of re-evaluated — one f64
             # (emulated, ~0.2 ms at 1024²) residual per outer, not two.
             u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u)
-            J = JacobianOperator(F, u_low, p)
+            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
             b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res)
         else:
             J = JacobianOperator(F, c.u, p)

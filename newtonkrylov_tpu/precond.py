@@ -19,8 +19,9 @@ the TPU design makes cheap:
   Jacobian (C++ kernel, NumPy fallback) — the literal analogue of the
   reference's ``N = (J) -> ilu(collect(J))`` recipe
   (examples/bratu.jl:121-138).  Host-side: use with the Python-stepped
-  Newton driver (``jit_step`` is disabled automatically when host factories
-  are present).
+  Newton driver, whose step stays a single compiled program — only the
+  factorization runs on host, swapped in per outer iteration through
+  ``newton._HostPrecondSlot``.
 """
 
 from __future__ import annotations
@@ -207,6 +208,7 @@ def two_grid(
     precision: str = "highest",
     shift: str = "mean",
     smooth_bounds=None,
+    transfer: str = "bilinear",
 ) -> Callable:
     """Factory: symmetric two-grid preconditioner — Chebyshev smoothing on
     the fine grid + an exact DST Poisson solve at half resolution.
@@ -225,18 +227,26 @@ def two_grid(
         z += S (r − A z)                (fused chain kernel)
 
     with S = p_k(A) on the oscillatory interval [frac·λ̂, λ̂] (Gershgorin λ̂;
-    ``smooth_bounds=(lo, hi)`` overrides), R = 2×2 mean, P = nearest
-    injection = 4Rᵀ.  S and A are symmetric and P ∝ Rᵀ, so M is symmetric —
-    safe under plain CG (cf. mg.multigrid2d's V-cycle, which this replaces
-    as the large-n default: 2 levels ≈ 15 large ops instead of ~100
-    dispatch-bound small ones — VERDICT r2 weak #5).
+    ``smooth_bounds=(lo, hi)`` overrides).  ``transfer="bilinear"`` (default)
+    uses O(h²) cell-centered bilinear prolongation with R = Pᵀ/4 (exact
+    linear transpose — the transfer, not the smoother, limits two-grid
+    convergence: with ``"nearest"`` injection the inner counts were flat in
+    smoother degree at ~2.5× the exact-DST counts).  S and A are symmetric
+    and P ∝ Rᵀ, so M is symmetric — safe under plain CG (cf. mg.multigrid2d's
+    V-cycle, which this replaces as the large-n default: 2 levels ≈ 15 large
+    ops instead of ~100 dispatch-bound small ones — VERDICT r2 weak #5).
 
     Same operator model and per-Newton-iteration probing as
     :func:`~newtonkrylov_tpu.mg.multigrid2d` (A = o·S + d(x)·I).
     """
     from .fftprec import dst_poisson_solver
     from .mg import _apply as _stencil_apply
-    from .mg import _prolong, _restrict, probe_5point
+    from .mg import _prolong, _prolong_bilinear, _restrict, _restrict_fw, probe_5point
+
+    if transfer not in ("bilinear", "nearest"):
+        raise ValueError(f"unknown transfer {transfer!r}")
+    P, R = ((_prolong_bilinear, _restrict_fw) if transfer == "bilinear"
+            else (_prolong, _restrict))
 
     def factory(J: JacobianOperator):
         o, d = probe_5point(J)
@@ -272,7 +282,7 @@ def two_grid(
         def apply(r):
             z = smooth(r)
             r1 = r - _stencil_apply(z, o, d)
-            z = z + _prolong(coarse(_restrict(r1)))
+            z = z + P(coarse(R(r1)))
             r2 = r - _stencil_apply(z, o, d)
             return z + smooth(r2)
 
@@ -417,6 +427,7 @@ def banded_lu(lower: int, upper: int) -> Callable:
             )
             return unravel(out)
 
+        apply.host_solve = host_solve  # raw hook for newton._HostPrecondSlot
         return apply
 
     factory.host_side = True
@@ -509,7 +520,8 @@ def ilu0(bandwidth: Optional[int] = None, offsets=None) -> Callable:
     otherwise); application is sparse triangular solves behind
     ``pure_callback``.  Host-side by construction — pair with the
     Python-stepped driver.  The factory's ``host_side`` attribute marks it so
-    ``newton_krylov`` disables step jitting.
+    ``newton_krylov`` invokes it outside the jitted step (the step itself
+    stays compiled; only the per-outer factorization is host-bound).
     """
     native = _load_native()
 
@@ -545,10 +557,12 @@ def ilu0(bandwidth: Optional[int] = None, offsets=None) -> Callable:
             )
             return unravel(out)
 
+        apply.host_solve = host_solve  # raw hook for newton._HostPrecondSlot
         return apply
 
-    # Factorization happens on host at factory-invocation time, so the Newton
-    # *outer* step cannot be jitted (the inner Krylov loop still is; the
-    # application crosses via pure_callback).
+    # Factorization happens on host at factory-invocation time, so the
+    # factory is invoked on a concrete operator outside the jitted Newton
+    # step (newton._HostPrecondSlot); the application crosses back into the
+    # compiled inner Krylov loop via pure_callback.
     factory.host_side = True
     return factory

@@ -22,7 +22,10 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-__all__ = ["Params", "default_config", "residual", "residual_scaled", "true_solution", "initial_guess", "grid"]
+__all__ = [
+    "Params", "default_config", "residual", "residual_scaled",
+    "residual_scaled_df", "true_solution", "initial_guess", "grid",
+]
 
 N_DEFAULT = 10_000
 LAMBDA_DEFAULT = 3.51382
@@ -63,6 +66,27 @@ def residual(y, p: Params):
 def residual_scaled(y, p: Params):
     """Δx²-scaled form: (yᵣ−2y+yₗ) + Δx²λeʸ — identical roots, f32-safe."""
     return _stencil(y) + (p.dx * p.dx) * p.lam * jnp.exp(y)
+
+
+def residual_scaled_df(y, p: Params):
+    """Δx²-scaled residual in df32 double-float arithmetic.
+
+    ``y`` is a :class:`~newtonkrylov_tpu.df32.DF` pair.  At the reference's
+    N = 10⁴ the stencil cancellation sits ~8 decades below |y|, so plain f32
+    floors ‖F‖ around 1e-3·‖F₀‖; this df32 form (exact two-sum shift chain +
+    exponent-shifted Δx²λeʸ) reaches the 1e-8 target on TPU with no emulated
+    f64 op — pass as ``newton_krylov_jit(..., residual_df=...)``.  Pinned
+    against the f64 oracle in tests/test_df32_problems.py.
+    """
+    from .. import df32 as dd
+
+    pad1 = lambda w: jnp.concatenate(  # noqa: E731
+        [jnp.zeros(1, w.dtype), w, jnp.zeros(1, w.dtype)]
+    )
+    yp = dd.df_map(pad1, y)
+    s = dd.neighbor_sum(yp, [(-1,), (1,)])
+    s = dd.add(s, dd.scale_pow2(y, -2.0))
+    return dd.add(s, dd.scaled_exp(y, float(p.dx) * float(p.dx) * float(p.lam)))
 
 
 def true_solution(x, theta: float = THETA):

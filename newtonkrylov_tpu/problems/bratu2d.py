@@ -99,38 +99,17 @@ def residual_scaled_df_padded(up, u, p: Params):
     :func:`~newtonkrylov_tpu.ops.stencil.pad_dirichlet` on one device, or
     from per-word halo exchange in the sharded path —
     :func:`newtonkrylov_tpu.halo.sharded_residual_df_2d`); ``u`` the
-    unpadded interior DF.
+    unpadded interior DF.  Assembled from the df32 stencil combinators
+    (padded-shift two-sum chain; −4u exact power-of-two scale; the Δx²λ
+    constant enters eᵘ through an exponent shift — see
+    :func:`~newtonkrylov_tpu.df32.scaled_exp` for why not ``x·c_hi +
+    x·c_lo``).
     """
     from .. import df32 as dd
 
-    hi, lo = up.hi, up.lo
-
-    def shift(di, dj):
-        return dd.DF(
-            hi[1 + di : hi.shape[0] - 1 + di, 1 + dj : hi.shape[1] - 1 + dj],
-            lo[1 + di : lo.shape[0] - 1 + di, 1 + dj : lo.shape[1] - 1 + dj],
-        )
-
-    s = dd.add(shift(1, 0), shift(-1, 0))
-    s = dd.add(s, dd.add(shift(0, 1), shift(0, -1)))
-    # −4u is exact in f32 (power-of-two scale): no two_prod needed
-    s = dd.add(s, dd.DF(-4.0 * u.hi, -4.0 * u.lo))
-
-    # c·eᵘ computed as e^(u + ln c): the constant enters through an EXACT
-    # df32 add instead of two products sharing the factor eᵘ — XLA:CPU's
-    # simplifier can fold ``x·c_hi + x·c_lo → x·fl(c_hi+c_lo)`` (losing the
-    # lo word) depending on fusion context, and no flag reliably stops it;
-    # an exponent shift has no such pattern (tests/test_df32.py pins the
-    # standalone-jit equivalence to the f64 residual).
-    import math
-
-    c2 = float(p.dx) * float(p.dx) * float(p.lam)
-    lnc = math.log(c2)
-    lnc_hi = np.float32(lnc)  # numpy: stays a Python-level constant
-    lnc_lo = np.float32(lnc - float(lnc_hi))
-    term = dd.exp(dd.add(u, dd.DF(jnp.full_like(u.hi, lnc_hi),
-                                  jnp.full_like(u.hi, lnc_lo))))
-    return dd.add(s, term)
+    s = dd.neighbor_sum(up, [(1, 0), (-1, 0), (0, 1), (0, -1)])
+    s = dd.add(s, dd.scale_pow2(u, -4.0))
+    return dd.add(s, dd.scaled_exp(u, float(p.dx) * float(p.dx) * float(p.lam)))
 
 
 def residual_scaled_aligned(u, p: Params):

@@ -20,7 +20,10 @@ import jax.numpy as jnp
 
 from ..ops.stencil import laplacian_2d, pad_dirichlet, pad_periodic
 
-__all__ = ["Params", "default_config", "rhs", "initial_condition", "grid", "stable_dt"]
+__all__ = [
+    "Params", "default_config", "rhs", "rhs_df", "initial_condition",
+    "grid", "stable_dt",
+]
 
 
 class Params(NamedTuple):
@@ -60,3 +63,27 @@ def rhs(u, p: Params, t=None):
     examples/heat_2D.jl:41-62)."""
     up = pad_dirichlet(u) if p.bc == "zero" else pad_periodic(u)
     return p.a * laplacian_2d(up, p.dx, p.dy)
+
+
+def rhs_df(u, p: Params, t=None):
+    """a·Δu in df32 double-float arithmetic (``u`` a
+    :class:`~newtonkrylov_tpu.df32.DF` pair).
+
+    The stencil's neighbor−2u cancellation resolves in exact two-sum chains;
+    the a/Δx² scale enters as a df32-split constant.  Pair with
+    :func:`~newtonkrylov_tpu.timestep.implicit_euler_df` to march the 2-D
+    heat equation with a ≤1e-8 acceptance residual on TPU — no emulated-f64
+    op in the loop (tests/test_df32_problems.py pins it against the f64
+    oracle).
+    """
+    from .. import df32 as dd
+
+    pad = pad_dirichlet if p.bc == "zero" else pad_periodic
+    up = dd.df_map(pad, u)
+    m2u = dd.scale_pow2(u, -2.0)
+    lx = dd.add(dd.add(dd.shift(up, 1, 0), dd.shift(up, -1, 0)), m2u)
+    ly = dd.add(dd.add(dd.shift(up, 0, 1), dd.shift(up, 0, -1)), m2u)
+    return dd.add(
+        dd.scale_const(lx, float(p.a) / (float(p.dx) * float(p.dx))),
+        dd.scale_const(ly, float(p.a) / (float(p.dy) * float(p.dy))),
+    )

@@ -45,6 +45,7 @@ from .tree import tree_axpby, tree_axpy, tree_scale, tree_sub
 __all__ = [
     "StepParams",
     "implicit_euler",
+    "implicit_euler_df",
     "implicit_midpoint",
     "implicit_trapezoid",
     "step_jacobian",
@@ -105,6 +106,33 @@ def implicit_trapezoid(f: Callable) -> Callable:
         du = f(u, sp.p, sp.t + sp.dt)
         fsum = jax.tree.map(jnp.add, dun, du)
         return tree_sub(tree_axpy(0.5 * sp.dt, fsum, sp.un), u)
+
+    return G
+
+
+def implicit_euler_df(f_df: Callable) -> Callable:
+    """df32 backward-Euler residual: ``G(u) = uₙ + Δt·f(u, t) − u`` with
+    ``u`` a :class:`~newtonkrylov_tpu.df32.DF` pair and ``f_df`` the
+    problem's df32 RHS (e.g. :func:`~newtonkrylov_tpu.problems.heat2d.rhs_df`).
+
+    Pass alongside the plain stepper as the refined driver's acceptance
+    residual::
+
+        integrate("euler", heat2d.rhs, u0, p, dt, T,
+                  newton_kwargs=dict(residual_df=implicit_euler_df(heat2d.rhs_df)))
+
+    ``Δt`` and ``uₙ`` enter as df32 splits of their (possibly f64) values, so
+    the step residual keeps ~2⁻⁴⁸ relative accuracy end to end on a TPU with
+    no emulated-f64 op in the loop.
+    """
+    from . import df32 as dd
+
+    def G(u, sp: StepParams):
+        du = f_df(u, sp.p, sp.t)
+        dt_df = dd.df_from_f64(jnp.asarray(sp.dt))
+        un_df = dd.df_from_f64(sp.un)
+        s = dd.add(un_df, dd.mul(du, dt_df))
+        return dd.add(s, dd.neg(u))
 
     return G
 

@@ -1,0 +1,197 @@
+"""df32 stencil combinators + per-problem residual_df variants vs f64 oracle
+(VERDICT r2 weak #4: the df32 fast path must not be bratu2d-only).
+
+Each residual_df is assembled purely from the df32 combinators
+(neighbor_sum / scale_pow2 / scale_const / scaled_exp) and pinned against the
+same residual evaluated in f64, at a state detuned from the solution so the
+stencil cancellation is live.  End-to-end: bratu1d at the reference's
+N=10⁴ and one heat2d backward-Euler step, both driven to 1e-8 through
+``residual_df`` — no emulated-f64 op inside the loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonkrylov_tpu import df32 as dd
+from newtonkrylov_tpu import newton_krylov_jit, precond
+from newtonkrylov_tpu.problems import bratu1d, bratu2d, heat2d
+from newtonkrylov_tpu.timestep import StepParams, implicit_euler, implicit_euler_df
+
+
+def _rel_vs_f64(df_val, f64_val, denom_scale):
+    got = dd.df_to_f64(df_val)
+    return float(jnp.max(jnp.abs(got - f64_val))) / denom_scale
+
+
+# ---------------------------------------------------------------------------
+# combinators
+# ---------------------------------------------------------------------------
+
+
+def test_neighbor_sum_matches_f64():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (34, 34)), jnp.float64)
+    u = dd.df_from_f64(x[1:-1, 1:-1])
+    up = dd.df_from_f64(x)
+    s = dd.neighbor_sum(up, [(1, 0), (-1, 0), (0, 1), (0, -1)])
+    want = x[2:, 1:-1] + x[:-2, 1:-1] + x[1:-1, 2:] + x[1:-1, :-2]
+    assert _rel_vs_f64(s, want, float(jnp.max(jnp.abs(want)))) < 1e-14
+
+
+def test_scale_pow2_exact():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(-1, 1, (256,)), jnp.float64)
+    u = dd.df_from_f64(x)
+    for c in (-4.0, -2.0, 0.5, 8.0):
+        got = dd.df_to_f64(dd.scale_pow2(u, c))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(c * dd.df_to_f64(u)))
+    with pytest.raises(AssertionError):
+        dd.scale_pow2(u, 3.0)
+
+
+def test_scale_const_accuracy():
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (256,)), jnp.float64)
+    u = dd.df_from_f64(x)
+    c = 0.01 / (1.0 / 41.0) ** 2  # heat2d's a/dx² shape of constant
+    got = dd.df_to_f64(dd.scale_const(u, c))
+    want = c * x
+    assert float(jnp.max(jnp.abs(got - want) / jnp.abs(want))) < 1e-13
+
+
+def test_scaled_exp_negative_constant():
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.uniform(-0.5, 1.5, (128,)), jnp.float64)
+    u = dd.df_from_f64(x)
+    got = dd.df_to_f64(dd.scaled_exp(u, -2.5e-3))
+    want = -2.5e-3 * jnp.exp(x)
+    assert float(jnp.max(jnp.abs(got - want) / jnp.abs(want))) < 1e-11
+
+
+# ---------------------------------------------------------------------------
+# per-problem residuals vs the f64 oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_bratu1d_residual_df_matches_f64(jit):
+    n = 10_000
+    p = bratu1d.default_config(n)
+    # detuned near-solution state: cancellation is live (‖F‖ ~ 1e-6·‖F₀‖)
+    u64 = bratu1d.true_solution(bratu1d.grid(n)).astype(jnp.float64)
+    u64 = u64 * (1.0 + 1e-6) + 1e-7
+    f = lambda u: bratu1d.residual_scaled_df(u, p)  # noqa: E731 — p concrete,
+    # as in the driver (newton_krylov_jit closes over p; constants must be host values)
+    if jit:
+        f = jax.jit(f)
+    got = f(dd.df_from_f64(u64))
+    want = bratu1d.residual_scaled(u64, p)
+    scale = float(jnp.max(jnp.abs(u64)))  # relative to the state magnitude
+    # f32 floor would be ~1e-7·scale; df32 target ~1e-12
+    assert _rel_vs_f64(got, want, scale) < 1e-12
+
+
+@pytest.mark.parametrize("jit", [False, True])
+def test_heat2d_rhs_df_matches_f64(jit):
+    n = 64
+    p = heat2d.default_config(n)
+    u64 = heat2d.initial_condition(n).astype(jnp.float64) * 0.731
+    f = lambda u: heat2d.rhs_df(u, p)  # noqa: E731 — p concrete (see above)
+    if jit:
+        f = jax.jit(f)
+    got = dd.df_to_f64(f(dd.df_from_f64(u64)))
+    want = heat2d.rhs(u64, p)
+    # error is ~eps48·|u| in absolute terms; the stencil cancellation makes
+    # max|rhs| ~1e3x smaller than |u|, so the output-relative bound is ~1e-12
+    rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+    assert rel < 1e-11
+
+
+@pytest.mark.parametrize("bc", ["zero", "periodic"])
+def test_heat2d_rhs_df_bcs(bc):
+    n = 32
+    p = heat2d.default_config(n, bc=bc)
+    rng = np.random.default_rng(7)
+    u64 = jnp.asarray(rng.uniform(-1, 1, (n, n)), jnp.float64)
+    got = dd.df_to_f64(heat2d.rhs_df(dd.df_from_f64(u64), p))
+    want = heat2d.rhs(u64, p)
+    rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+    assert rel < 1e-11
+
+
+def test_euler_step_residual_df_matches_f64():
+    n = 48
+    p = heat2d.default_config(n)
+    un = heat2d.initial_condition(n).astype(jnp.float64)
+    dt = heat2d.stable_dt(p) * 10.0
+    sp = StepParams(un=un, dt=jnp.asarray(dt, jnp.float64), p=p, t=dt)
+    u = un * 0.97 + 1e-4
+    G = implicit_euler(heat2d.rhs)
+    G_df = implicit_euler_df(heat2d.rhs_df)
+    got = dd.df_to_f64(G_df(dd.df_from_f64(u), sp))
+    want = G(u, sp)
+    scale = float(jnp.max(jnp.abs(un)))
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# end-to-end refined solves through residual_df
+# ---------------------------------------------------------------------------
+
+
+def test_bratu1d_refined_solve_to_1e8():
+    """Reference config (N=10⁴, λ=3.51382) to ‖F‖ ≤ 1e-8·‖F₀‖ with the f32
+    Krylov loop + df32 acceptance residual; external f64 oracle check."""
+    n = 10_000
+    p = bratu1d.default_config(n)
+    u0 = bratu1d.initial_guess(n, dtype=jnp.float64)
+    # κ(J) ≈ 1.6e8 at N=10⁴: unpreconditioned f32 CG cannot reduce the inner
+    # residual below ~κ·eps₃₂ ≈ 1, so the refined path NEEDS the exact
+    # tridiagonal preconditioner (as the f64 verify recipe needs CG at all)
+    u, info = newton_krylov_jit(
+        bratu1d.residual_scaled, u0, p,
+        algo="cg", tol_rel=1e-8, residual_df=bratu1d.residual_scaled_df,
+        M=precond.banded_direct(), max_niter=30,
+    )
+    assert bool(info.solved)
+    # Oracle: the true f64 residual of the returned state meets the driver's
+    # acceptance tolerance tol_abs + tol_rel·‖F₀‖ (the default tol_abs=1e-12
+    # governs here: at N=10⁴ the Δx²-scaled ‖F₀‖ is 1.3e-6, and the 48-bit
+    # df32 state representation floors the reachable residual at ~5e-13 —
+    # per-element u·2⁻⁴⁸ through the stencil — so a pure-relative 1e-8·‖F₀‖
+    # ≈ 1.6e-14 is unreachable by ANY 48-bit state, matching f64's own
+    # behavior at this κ).  What must hold: the driver's df32 claim is
+    # honest, i.e. the f64 residual is within the accepted tolerance.
+    r64 = bratu1d.residual_scaled(u.astype(jnp.float64), p)
+    r0 = bratu1d.residual_scaled(u0, p)
+    tol = 1e-12 + 1e-8 * float(jnp.linalg.norm(r0))
+    assert float(jnp.linalg.norm(r64)) <= 1.2 * tol
+    err = jnp.max(jnp.abs(u - bratu1d.true_solution(bratu1d.grid(n))))
+    assert float(err) < 5e-6  # discretization level (verify recipe ~1.5e-6)
+
+
+def test_heat2d_euler_step_refined_to_1e8():
+    """One backward-Euler heat2d step solved through residual_df to a 1e-8
+    relative acceptance residual, vs an f64-oracle solve of the same step."""
+    n = 64
+    p = heat2d.default_config(n)
+    un = heat2d.initial_condition(n).astype(jnp.float64)
+    dt = heat2d.stable_dt(p) * 50.0
+    sp = StepParams(un=un, dt=jnp.asarray(dt, jnp.float64), p=p, t=dt)
+    G = implicit_euler(heat2d.rhs)
+    u, info = newton_krylov_jit(
+        G, un, sp,
+        algo="cg", tol_rel=1e-8,
+        residual_df=implicit_euler_df(heat2d.rhs_df), max_niter=30,
+    )
+    assert bool(info.solved)
+    # f64 oracle for the same step
+    u64, info64 = newton_krylov_jit(G, un, sp, algo="cg", tol_rel=1e-8)
+    assert bool(info64.solved)
+    diff = float(jnp.max(jnp.abs(u - u64))) / float(jnp.max(jnp.abs(u64)))
+    assert diff < 1e-7
+    # acceptance residual truly met in f64
+    rG = G(u.astype(jnp.float64), sp)
+    assert float(jnp.linalg.norm(rG)) <= 1.2e-8 * float(jnp.linalg.norm(G(un, sp)))
