@@ -32,10 +32,11 @@ from typing import Callable, NamedTuple
 import jax
 import jax.flatten_util
 import jax.numpy as jnp
+from jax import lax
 
 from .operator import JacobianOperator
 
-__all__ = ["multigrid2d", "vcycle", "probe_5point"]
+__all__ = ["multigrid2d", "vcycle", "probe_5point", "transfer_matmul"]
 
 
 def _neighbor_sum(u):
@@ -94,12 +95,52 @@ def _restrict_fw(r):
     Computed as the exact linear transpose of :func:`_prolong_bilinear`, so
     P ∝ Rᵀ holds to machine precision and a two-grid preconditioner built
     from the pair is symmetric (CG-safe).  R preserves constants away from
-    the boundary (row sums 1, same convention as the 2×2 mean)."""
+    the boundary (row sums 1, same convention as the 2×2 mean).
+
+    .. warning:: On TPU the transpose of the pad/stack/reshape prolongation
+       lowers to relayout ops costing ~13 ms at 2048² (vs 16 µs for a
+       stencil apply) — use :func:`transfer_matmul` there; this form is the
+       CPU/reference-oracle path (tests pin the matmul pair against it)."""
     n, m = r.shape
     tr = jax.linear_transpose(
         _prolong_bilinear, jax.ShapeDtypeStruct((n // 2, m // 2), r.dtype)
     )
     return tr(r)[0] * 0.25
+
+
+def _p1(n: int, dtype):
+    """The 1-D cell-centered bilinear prolongation matrix P₁ (n × n/2):
+    fine(2i) = (3c[i] + c[i−1])/4, fine(2i+1) = (3c[i] + c[i+1])/4, coarse
+    ghosts zero.  ⊗-squared this is exactly :func:`_prolong_bilinear`'s
+    9-3-3-1 stencil."""
+    rows = lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
+    cols = lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+    half = rows // 2
+    side = jnp.where(rows % 2 == 0, half - 1, half + 1)
+    return (jnp.where(cols == half, 0.75, 0.0)
+            + jnp.where(cols == side, 0.25, 0.0)).astype(dtype)
+
+
+def transfer_matmul(n: int, m: int, dtype, precision=None):
+    """(P, R) bilinear transfer pair as separable MXU matmuls.
+
+    P e = P₁ e P₁ᵀ and R r = (P₁ᵀ r P₁)/4 — identical weights to
+    :func:`_prolong_bilinear` / :func:`_restrict_fw` (tests pin it), but
+    riding the MXU: measured 2048² fine-grid round trip P(R(x)) is ~0.2 ms
+    vs ~13 ms for the sliced/transposed forms, whose interleaving
+    reshape/scatter patterns are catastrophic relayouts on TPU.  P = 4Rᵀ
+    holds as a bilinear form up to matmul rounding, so ``precision``
+    should be HIGH/HIGHEST when the consumer needs a symmetric M under CG
+    (two_grid passes its own precision knob through)."""
+    Pr, Pc = _p1(n, dtype), _p1(m, dtype)
+
+    def P(e):
+        return jnp.einsum("ij,jk,lk->il", Pr, e, Pc, precision=precision)
+
+    def R(r):
+        return 0.25 * jnp.einsum("ji,jk,kl->il", Pr, r, Pc, precision=precision)
+
+    return P, R
 
 
 def _jacobi(u, b, o, d, omega, sweeps):

@@ -59,3 +59,24 @@ def test_newton_two_grid_full_solve():
     nres = float(jnp.linalg.norm(bratu2d.residual_scaled(u, p)))
     nres0 = float(jnp.linalg.norm(bratu2d.residual_scaled(u0, p)))
     assert nres <= 1e-9 * nres0
+
+
+def test_matmul_transfers_match_sliced():
+    """transfer_matmul must reproduce the sliced bilinear P / full-weighting
+    R exactly (same 9-3-3-1 weights, zero coarse ghosts) — the matmul pair
+    is the TPU fast path, the sliced pair the oracle."""
+    from newtonkrylov_tpu.mg import (
+        _prolong_bilinear, _restrict_fw, transfer_matmul,
+    )
+    rng = np.random.default_rng(7)
+    n = 32
+    P, R = transfer_matmul(n, n, jnp.float64)
+    e = jnp.asarray(rng.standard_normal((n // 2, n // 2)))
+    r = jnp.asarray(rng.standard_normal((n, n)))
+    np.testing.assert_allclose(np.asarray(P(e)), np.asarray(_prolong_bilinear(e)),
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(R(r)), np.asarray(_restrict_fw(r)),
+                               atol=1e-13)
+    # adjointness: <P e, r> = 4 <e, R r>
+    np.testing.assert_allclose(float(jnp.vdot(P(e), r)),
+                               4.0 * float(jnp.vdot(e, R(r))), rtol=1e-12)
