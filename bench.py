@@ -155,7 +155,7 @@ def main():
     # strategy" #3 — this took the 1024² DST lane from 34.7 to 6.2 ms).
     from newtonkrylov_tpu.fftprec import fft_poisson
     from newtonkrylov_tpu.mg import multigrid2d
-    from newtonkrylov_tpu.precond import two_grid
+    from newtonkrylov_tpu.precond import chebyshev, two_grid
 
     def make_chain_solve(ns, M=None, refresh="outer"):
         ps = bratu2d.default_config(ns, lam=LAM)
@@ -183,15 +183,22 @@ def main():
     # Lanes: preconditioner x grid size.  Flagship = DST-PCG(high) with
     # precond_refresh="once": exact Poisson preconditioner, bf16x3 MXU
     # transforms (~half the MXU cost of "highest" at near-identical
-    # counts), factory hoisted out of the Newton loop (saves the per-outer
-    # probe/setup ~0.6 ms at 2048²).  two-grid = the variable-coefficient
-    # fallback (matmul transfers; docs/design.md "two-grid post-mortem");
-    # MG at 1024² only — its ~100-op V-cycle is dispatch-bound on this
-    # deployment (docs/design.md).
+    # counts), factory hoisted out of the Newton loop.  "outer" lanes keep
+    # the reference's refresh-every-iteration semantics as the comparison
+    # point (the delta IS the per-outer factory cost: 239 vs 75 ms for
+    # two-grid at 2048²).  two-grid = the variable-coefficient fallback
+    # (matmul transfers; docs/design.md "two-grid post-mortem"); MG at
+    # 1024² only — its ~100-op V-cycle is dispatch-bound on this
+    # deployment (docs/design.md).  Cheb-PCG runs the fused VMEM chain
+    # kernel per inner iteration — on ONE chip it loses to plain CG's
+    # cheaper per-matvec loop (polynomial preconditioning buys reduction
+    # rounds, which cost ~nothing here); it is the sharded default, where
+    # each dot's psum tree latency is amortized degree× (scaling_model.py).
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
              ("MG-PCG", multigrid2d(), "outer", (1024,)),
              ("DST-PCG hi", fft_poisson(), "outer", (2048,)),
-             ("two-grid", two_grid(8, precision="high"), "outer", (1024, 2048)),
+             ("Cheb-PCG", chebyshev(16, lo_frac=1 / 300), "once", (1024,)),
+             ("two-grid", two_grid(8, precision="high"), "once", (1024, 2048)),
              ("DST-PCG", fft_poisson(precision="high"), "once", (512, 1024, 2048))]
     for tag, M, refresh, sizes in lanes:
         for ns in sizes:

@@ -134,3 +134,20 @@ def test_mixed_precision_refinement():
     assert bool(info.solved)
     assert float(info.stats.n_res) < 1e-10 * 0.1  # far below f32 floor
     assert int(info.stats.outer_iterations) <= 15
+
+
+def test_chain_probe_kernel_runs_and_is_finite():
+    """The roofline probe (bench.py's speed-of-light calibration) must stay
+    executable: same launch shape as the chain kernel, finite output, even-k
+    contract enforced.  It is a measurement device, not a matvec — no value
+    oracle beyond finiteness and the bounded-iteration scale."""
+    from newtonkrylov_tpu.kernels.stencil2d import stencil_chain_probe_pallas
+
+    n = 16
+    v = aligned_wrap(_rand(n, 6))
+    w = aligned_wrap(jnp.abs(_rand(n, 7)) + 0.1)
+    out = stencil_chain_probe_pallas(v, w, n=n, k=4)
+    assert out.shape == v.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    with pytest.raises(AssertionError):
+        stencil_chain_probe_pallas(v, w, n=n, k=3)
