@@ -202,25 +202,28 @@ def main():
              ("DST-PCG", fft_poisson(precision="high"), "once", (512, 1024, 2048))]
     for tag, M, refresh, sizes in lanes:
         for ns in sizes:
-            u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
-            ps = bratu2d.default_config(ns, lam=LAM)
-            f = make_chain_solve(ns, M, refresh)
-            float(f(u0s, 1)); float(f(u0s, 3))  # compile + warm
-            t1 = min(_wall(f, u0s, 1, r) for r in range(2))
-            t3 = min(_wall(f, u0s, 3, r + 2) for r in range(2))
-            ms = max(t3 - t1, 0.0) / 2 * 1e3
-            # convergence facts: every timed lane is backed by a
-            # solved=True verification run (ADVICE r1)
-            u, info = jax.jit(lambda u0, M=M, ps=ps, rf=refresh: newton_krylov_jit(
-                bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
-                krylov_dtype=jnp.float32,
-                residual_df=bratu2d.residual_scaled_df,
-                max_niter=20, M=M, precond_refresh=rf))(u0s)
-            inner = int(info.stats.inner_iterations)
-            log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "
-                f"marginal {ms:.1f} ms/solve, solved={bool(info.solved)} "
-                f"outer={int(info.stats.outer_iterations)} inner={inner} "
-                f"({ms*1e3/max(inner,1):.0f} us/inner)")
+            try:
+                u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
+                ps = bratu2d.default_config(ns, lam=LAM)
+                f = make_chain_solve(ns, M, refresh)
+                float(f(u0s, 1)); float(f(u0s, 3))  # compile + warm
+                t1 = min(_wall(f, u0s, 1, r) for r in range(2))
+                t3 = min(_wall(f, u0s, 3, r + 2) for r in range(2))
+                ms = max(t3 - t1, 0.0) / 2 * 1e3
+                # convergence facts: every timed lane is backed by a
+                # solved=True verification run (ADVICE r1)
+                u, info = jax.jit(lambda u0, M=M, ps=ps, rf=refresh: newton_krylov_jit(
+                    bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
+                    krylov_dtype=jnp.float32,
+                    residual_df=bratu2d.residual_scaled_df,
+                    max_niter=20, M=M, precond_refresh=rf))(u0s)
+                inner = int(info.stats.inner_iterations)
+                log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "
+                    f"marginal {ms:.1f} ms/solve, solved={bool(info.solved)} "
+                    f"outer={int(info.stats.outer_iterations)} inner={inner} "
+                    f"({ms*1e3/max(inner,1):.0f} us/inner)")
+            except Exception as e:  # a dead lane must not cost the metric line
+                log(f"JFNK lane [{tag}] {ns}x{ns} FAILED: {type(e).__name__}: {e}")
 
     print(json.dumps({
         "metric": "bratu2d_jv_matvecs_per_s_chip",

@@ -162,3 +162,25 @@ def test_chebyshev_apply_structure():
     assert c2["ppermute"] - c1["ppermute"] == 4, (c1, c2)
     assert c2["psum"] - c1["psum"] == 0, (c1, c2)
     assert c2["all_gather"] == 0, c2
+
+
+def test_sharded_chebyshev_refresh_once_matches_outer():
+    """precond_refresh="once" must compose with shard_map: the frozen-at-u0
+    Chebyshev factory still runs inside the sharded program (halo exchanges
+    per polynomial step), and counts stay within a whisker of the per-outer
+    refresh (the factory's J dependence is only the diagonal's extremes)."""
+    M = chebyshev(degree=6, axis_names=("i", None))
+    u_a, i_a = _sharded((2,), ("i", None), M)
+    mesh = make_mesh((2,), ("i",))
+    p = bratu2d.default_config(N, lam=LAM)
+    u0 = bratu2d.initial_guess(N, dtype=jnp.float64)
+    F_local = sharded_residual_2d(_padded_residual, ("i", None), "dirichlet")
+    u_b, i_b = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", None),
+        newton_kwargs={"algo": "cg", "M": M, "tol_rel": 1e-9, "max_niter": 25,
+                       "precond_refresh": "once"},
+    )
+    assert bool(jnp.asarray(i_a.solved)) and bool(jnp.asarray(i_b.solved))
+    assert abs(int(jnp.asarray(i_b.stats.inner_iterations))
+               - int(jnp.asarray(i_a.stats.inner_iterations))) <= 3
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a), atol=2e-8)
