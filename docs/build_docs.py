@@ -47,6 +47,7 @@ PAGES = [
     (DOCS / "parity.md", "parity", "Reference parity"),
     (DOCS / "walkthrough_heat2d.md", "walkthrough_heat2d", "Heat 2-D walkthrough"),
     (DOCS / "walkthrough_heat1d_dg.md", "walkthrough_heat1d_dg", "Heat 1-D DG walkthrough"),
+    (DOCS / "walkthrough_sharded.md", "walkthrough_sharded", "Sharded-solve walkthrough"),
     ("__bibliography__", "references", "References"),
 ]
 

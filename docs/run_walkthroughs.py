@@ -37,8 +37,17 @@ def main():
         paths = [p for p in paths if any(n in p for n in names)]
     if not paths:
         raise SystemExit("no walkthroughs matched")
+    if len(paths) == 1:
+        run(paths[0])
+        return
+    # One subprocess per walkthrough: a walkthrough's first block may need
+    # env that must precede JAX backend init (e.g. the sharded one forces
+    # 8 virtual devices via XLA_FLAGS), which a shared process would have
+    # consumed already; namespaces stay isolated too.
+    import subprocess
     for p in paths:
-        run(p)
+        subprocess.run([sys.executable, os.path.abspath(__file__),
+                        os.path.basename(p)], check=True)
 
 
 if __name__ == "__main__":
