@@ -185,3 +185,30 @@ def test_bratu_residual_df_matches_f64(jit):
     assert float(df32.norm_hi(rdf)) == pytest.approx(
         float(jnp.linalg.norm(r64)), rel=1e-5
     )
+
+
+def test_newton_jit_flagship_config_df32_dst_once():
+    """The bench flagship configuration end-to-end on CPU: df32 acceptance
+    residual + DST-Poisson M (bf16x3 'high' on TPU; exact on CPU) +
+    precond_refresh="once".  Guards the exact kwarg combination bench.py
+    times, including the once-mode J0 construction on the df32 pair."""
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 64
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float64)
+
+    u, info = jax.jit(lambda u: newton_krylov_jit(
+        bratu2d.residual_scaled, u, p, algo="cg", tol_rel=1e-8,
+        krylov_dtype=jnp.float32, residual_df=bratu2d.residual_scaled_df,
+        max_niter=20, M=fft_poisson(precision="high"),
+        precond_refresh="once",
+    ))(u0)
+    assert bool(info.solved)
+    # near-exact preconditioning: ~1 inner per outer
+    assert int(info.stats.inner_iterations) <= int(info.stats.outer_iterations) + 3
+    n_true = float(jnp.linalg.norm(bratu2d.residual_scaled(u, p)))
+    n0 = float(jnp.linalg.norm(bratu2d.residual_scaled(u0, p)))
+    assert n_true <= 1.5e-8 * n0
