@@ -196,10 +196,11 @@ def main():
     # each dot's psum tree latency is amortized degree× (scaling_model.py).
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
              ("MG-PCG", multigrid2d(), "outer", (1024,)),
-             ("DST-PCG hi", fft_poisson(), "outer", (2048,)),
+             ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),
              ("Cheb-PCG", chebyshev(16, lo_frac=1 / 300), "once", (1024,)),
              ("two-grid", two_grid(8, precision="high"), "once", (1024, 2048)),
-             ("DST-PCG", fft_poisson(precision="high"), "once", (512, 1024, 2048))]
+             ("DST-PCG flagship", fft_poisson(precision="high"), "once",
+              (512, 1024, 2048))]
     for tag, M, refresh, sizes in lanes:
         for ns in sizes:
             try:

@@ -42,6 +42,9 @@ from newtonkrylov_tpu.operator import JacobianOperator  # noqa: E402
 from newtonkrylov_tpu.problems import bratu2d  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+PRECISION = sys.argv[2] if len(sys.argv) > 2 else "highest"  # DST matmul mode
+REFRESH = sys.argv[3] if len(sys.argv) > 3 else "outer"      # factory refresh
+DF32 = len(sys.argv) > 4 and sys.argv[4] == "df32"           # acceptance residual
 LAM = 5.0
 REPEATS = 3
 
@@ -96,7 +99,7 @@ def main():
     t_jvp = chain(lambda x: jvp32(x) * 0.125, u32, tag="jvp apply f32")
 
     # --- phase: probe + DST factory and one apply ---------------------------
-    Mfac = fft_poisson()
+    Mfac = fft_poisson(precision=PRECISION)
 
     def factory_step(x):
         J = JacobianOperator(F, x, p)
@@ -145,13 +148,24 @@ def main():
     t_cast = chain(lambda x: x + x.astype(jnp.float32).astype(jnp.float64) * 1e-9,
                    u64, k_long=200, tag="f64<->f32 cast pair")
 
+    if DF32:
+        # the production acceptance residual: paired-f32, no emulated-f64 op
+        from newtonkrylov_tpu import df32 as _dd
+        u_df = _dd.df_from_f64(u64)
+        t_res_df = chain(
+            lambda xd: _dd.scale_pow2(bratu2d.residual_scaled_df(xd, p), 0.125),
+            u_df, k_long=60, tag="res eval df32",
+        )
+
     # --- whole outer body, measured via max_niter differencing --------------
     # tol_rel=tol_abs=0 forces exactly (max_niter+1) outer iterations.
     def solve_prog(u0, kmax_sel):
         def run(kmax):
             _, info = newton_krylov_jit(
                 F, u0, p, algo="cg", tol_rel=0.0, tol_abs=0.0,
-                krylov_dtype=jnp.float32, max_niter=kmax, M=fft_poisson(),
+                krylov_dtype=jnp.float32, max_niter=kmax,
+                M=fft_poisson(precision=PRECISION), precond_refresh=REFRESH,
+                residual_df=bratu2d.residual_scaled_df if DF32 else None,
             )
             return info.stats.inner_iterations.astype(jnp.float32) + info.stats.n_res.astype(jnp.float32) * 1e-9
 
@@ -177,15 +191,20 @@ def main():
           f"({inner_per_outer:.2f} inner/outer)")
 
     # --- attribution ---------------------------------------------------------
-    pred = (t_cast + t_lin + t_fac + inner_per_outer * t_cg
-            + t_norm64 + t_upd64)
-    print("\n--- attribution (per outer iteration) ---")
-    for tag, v in [
-        ("cast f64<->f32", t_cast), ("linearize+jvp", t_lin),
-        ("probe+factory+apply", t_fac),
+    t_accept = t_res_df if DF32 else t_norm64
+    t_factory = t_fac if REFRESH == "outer" else t_dst  # once: apply only
+    rows = [
+        ("cast f64<->f32", 0.0 if DF32 else t_cast),
+        ("linearize+jvp", t_lin),
+        ("factory" if REFRESH == "outer" else "hoisted M apply", t_factory),
         (f"{inner_per_outer:.1f} x pcg iter", inner_per_outer * t_cg),
-        ("f64 residual+norm", t_norm64), ("f64 u update", t_upd64),
-    ]:
+        ("acceptance residual", t_accept),
+        ("u update", t_upd64),
+    ]
+    pred = sum(v for _, v in rows)
+    print(f"\n--- attribution (per outer iteration; precision={PRECISION}, "
+          f"refresh={REFRESH}, df32={DF32}) ---")
+    for tag, v in rows:
         print(f"  {tag:22s} {v:10.2f} us  ({100*v/t_outer:5.1f}% of measured)")
     print(f"  {'predicted total':22s} {pred:10.2f} us  vs measured {t_outer:.2f}")
 
