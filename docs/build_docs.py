@@ -79,6 +79,7 @@ AUTODOC_MODULES = [
     "newtonkrylov_tpu.problems.heat1d_dg",
     "newtonkrylov_tpu.problems.heat2d",
     "newtonkrylov_tpu.problems.spring",
+    "newtonkrylov_tpu.problems.convdiff2d",
     "newtonkrylov_tpu.utils.profiling",
     "newtonkrylov_tpu.utils.checkpointing",
     "newtonkrylov_tpu.utils.distributed",

@@ -15,9 +15,14 @@ module              reference example
 ``heat2d``          examples/heat_2D.jl (5-point diffusion, halo layout)
 ``heat1d_dg``       examples/heat_1D_DG.jl (DG / upwind operator composition)
 ``spring``          examples/spring.jl (harmonic oscillator)
+``convdiff2d``      beyond reference: nonsymmetric convection–diffusion
+                    (the GMRES-required regime; manufactured exact root)
 ==================  =====================================================
 """
 
-from . import bratu1d, bratu2d, bvp, heat1d, heat1d_dg, heat2d, simple, spring
+from . import bratu1d, bratu2d, bvp, convdiff2d, heat1d, heat1d_dg, heat2d, simple, spring
 
-__all__ = ["simple", "bratu1d", "bratu2d", "bvp", "heat1d", "heat2d", "heat1d_dg", "spring"]
+__all__ = [
+    "simple", "bratu1d", "bratu2d", "bvp", "heat1d", "heat2d", "heat1d_dg",
+    "spring", "convdiff2d",
+]

@@ -1,0 +1,156 @@
+"""Nonsymmetric convection–diffusion problem (problems/convdiff2d.py).
+
+The library's coverage of the non-SPD regime where GMRES is required
+(reference recipe gallery /root/reference/examples/bratu.jl:110-157 shows
+algo selection; every 2-D problem there is symmetric).  The manufactured
+forcing makes u* = sin(πx)sin(πy) the *exact discrete root*, so solver
+correctness is an equality check.  Recipe facts (counts, the c-regimes of
+the two preconditioners) are measured in the module docstring; the tests
+pin them.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from newtonkrylov_tpu import df32 as dd
+from newtonkrylov_tpu import newton_krylov, newton_krylov_jit
+from newtonkrylov_tpu.fftprec import fft_poisson
+from newtonkrylov_tpu.halo import make_mesh, newton_krylov_sharded, sharded_residual_2d
+from newtonkrylov_tpu.operator import JacobianOperator, materialize_dense
+from newtonkrylov_tpu.precond import ilu0
+from newtonkrylov_tpu.problems import convdiff2d
+
+# Non-restarted GMRES: the DST-preconditioned spectrum carries a few
+# h-growing outliers (module docstring); restarted GMRES cycles on them.
+FULL_GMRES = {"restart": None, "itmax": 150}
+
+
+def test_manufactured_solution_is_discrete_root():
+    n = 48
+    p = convdiff2d.default_config(n, dtype=jnp.float64)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    r = convdiff2d.residual_scaled(us, p)
+    assert float(jnp.max(jnp.abs(r))) < 1e-15
+
+
+def test_jacobian_is_nonsymmetric():
+    n = 12
+    p = convdiff2d.default_config(n, dtype=jnp.float64)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    J = materialize_dense(
+        JacobianOperator(lambda u, pp: convdiff2d.residual_scaled(u, pp), us, p)
+    )
+    asym = float(jnp.max(jnp.abs(J - J.T)))
+    scale = float(jnp.max(jnp.abs(J)))
+    # central-difference convection contributes an O(c·dx·u) skew part
+    assert asym > 1e-4 * scale
+
+
+def test_gmres_dst_converges_to_manufactured():
+    n = 64
+    p = convdiff2d.default_config(n, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    u, info = newton_krylov_jit(
+        convdiff2d.residual_scaled, u0, p,
+        algo="gmres", tol_rel=1e-10, M=fft_poisson(), forcing=None,
+        krylov_kwargs=FULL_GMRES,
+    )
+    assert bool(info.solved)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u - us))) < 1e-9
+
+
+def test_gmres_dst_counts_match_measured_growth():
+    """Pin the measured per-outer counts at c=2 (14 → 24 → 47 for
+    n = 32 → 64 → 128, scipy-oracle-matched — module docstring).  Guards
+    against solver regressions; the slow h-growth itself is the discrete
+    operator's, not the solver's."""
+    expected_max = {32: 70, 64: 110, 128: 210}
+    for n, cap in expected_max.items():
+        p = convdiff2d.default_config(n, dtype=jnp.float64)
+        u0 = convdiff2d.initial_guess(n, jnp.float64)
+        _, info = newton_krylov_jit(
+            convdiff2d.residual_scaled, u0, p,
+            algo="gmres", tol_rel=1e-10, M=fft_poisson(), forcing=None,
+            krylov_kwargs=FULL_GMRES,
+        )
+        assert bool(info.solved)
+        assert int(info.stats.outer_iterations) <= 5
+        assert int(info.stats.inner_iterations) <= cap, (n, int(info.stats.inner_iterations))
+
+
+def test_ilu_robust_when_convection_dominated():
+    """c = 25 breaks the Laplacian preconditioner (spectrum straddles the
+    origin); the reference's GMRES+ILU family (examples/bratu.jl:121-128)
+    solves it from the zero start."""
+    n = 64
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    u, info = newton_krylov(
+        convdiff2d.residual_scaled, u0, p,
+        algo="gmres", tol_rel=1e-10, forcing=None,
+        N=ilu0(offsets=(-n, -1, 0, 1, n)),
+        krylov_kwargs={"restart": None, "itmax": 200},
+    )
+    assert bool(info.solved)
+    assert int(info.stats.outer_iterations) <= 9
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u - us))) < 1e-9
+
+
+def test_df32_residual_matches_f64():
+    rng = np.random.default_rng(11)
+    n = 40
+    p = convdiff2d.default_config(n, dtype=jnp.float64)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    x = us * (1.0 + 1e-3) + jnp.asarray(rng.uniform(-1e-3, 1e-3, (n, n)))
+    want = convdiff2d.residual_scaled(x, p)
+    got = dd.df_to_f64(convdiff2d.residual_scaled_df(dd.df_from_f64(x), p))
+    # ~2⁻⁴⁶ of the stencil operand scale; the residual itself is smaller
+    # (partial cancellation near the root), so measure against it loosely
+    denom = float(jnp.max(jnp.abs(want)))
+    assert float(jnp.max(jnp.abs(got - want))) / denom < 1e-10
+
+
+def test_refined_df32_solve_reaches_1e8():
+    """f32 Krylov loop + df32 acceptance residual to ‖F‖ ≤ 1e-8·‖F₀‖ —
+    the production mixed-precision path on a nonsymmetric operator."""
+    n = 64
+    p = convdiff2d.default_config(n, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    u, info = newton_krylov_jit(
+        convdiff2d.residual_scaled, u0, p,
+        algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+        residual_df=convdiff2d.residual_scaled_df,
+        M=fft_poisson(), forcing=None, max_niter=25,
+        krylov_kwargs=FULL_GMRES,
+    )
+    assert bool(info.solved)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u - us))) < 1e-6
+
+
+def test_sharded_solve_matches_single_device():
+    """2×2 mesh, per-gridpoint forcing sharded via p_spec, overlapped halo
+    exchange; iteration counts and solution must match the single-device
+    solve (the residual is identical arithmetic, just distributed)."""
+    n = 32
+    p = convdiff2d.default_config(n, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    kwargs = dict(algo="gmres", tol_rel=1e-10, max_niter=20, forcing=None,
+                  krylov_kwargs={"restart": None, "itmax": 100})
+
+    u_ref, info_ref = newton_krylov_jit(convdiff2d.residual_scaled, u0, p, **kwargs)
+
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(convdiff2d.residual_scaled_padded, ("i", "j"), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs=kwargs,
+        p_spec=convdiff2d.Params(dx=P(), c=P(), b=P("i", "j")),
+    )
+    assert bool(info_sh.solved)
+    assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+    assert int(info_sh.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
