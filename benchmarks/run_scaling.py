@@ -66,7 +66,7 @@ def run_child(n_devices: int, mode: str, arg: str):
 
 
 def main():
-    from scaling_model import BW_ICI, T_LAT, model_point
+    from scaling_model import BW_ICI, T_DST_2048, T_LAT, dst_apply_point, model_point
 
     results = {"note": (
         "virtual CPU devices: validates communication structure / constant "
@@ -74,10 +74,13 @@ def main():
         "the quantitative v5e prediction"), "points_1d": [], "points_2d": [],
         "model": {
             "constants": {"bw_ici_B_per_s": BW_ICI, "t_lat_s": T_LAT,
-                          "cheb_degree": 16},
+                          "t_dst_2048_s": T_DST_2048, "cheb_degree": 16},
             "points": [model_point(b, n, cheb_degree=16)
                        for b in (256, 512, 1024, 2048)
                        for n in (4, 16, 64, 256)],
+            "dst_apply_points": [dst_apply_point(b, n)
+                                 for b in (512, 1024, 2048)
+                                 for n in (4, 16, 64, 256)],
         }}
 
     # 1-D row-decomposition sweep within each forced device count

@@ -61,6 +61,10 @@ BW_HBM = 819e9         # bytes/s
 T_C_2048 = 18.5e-6
 T_FLOOR = 2.0e-6
 
+# Measured single-chip DST-Poisson apply (bf16x3 "high", 2048², bench
+# flagship attribution in docs/design.md: at the MXU matmul roofline).
+T_DST_2048 = 1.084e-3
+
 
 def t_compute(b: int) -> float:
     return max(T_C_2048 * (b / 2048.0) ** 2, T_FLOOR)
@@ -94,6 +98,41 @@ def model_point(b: int, n_chips: int, cheb_degree: int = 0) -> dict:
     }
 
 
+def dst_apply_point(b: int, n_chips: int) -> dict:
+    """Per-device cost of ONE global-DST apply (fft_poisson scope="global").
+
+    Square p×p mesh, local block b×b, global side n = p·b.  Total transform
+    flops (8·n³ per apply) divide *exactly* evenly: 8·n³/P = 8·b³·√P flops
+    per device per apply — strong-scaling perfect, but under WEAK scaling
+    the per-device matmul work grows ∝ √P because the replicated sine basis
+    grows with the global side.  MXU time is calibrated from the measured
+    single-chip apply (T_DST_2048, at the matmul roofline).  Communication:
+    each of the 4 transforms reduce-scatters an (n × b) partial over its
+    p-device mesh line — ≈ ((p−1)/p)·n·b·4 bytes per device on ICI.
+
+    The crossover this table exposes: the DST apply stays cheap relative to
+    its own matvecs while √P · (b/2048)³ is small; past that the flat-cost
+    sharded preconditioners (Chebyshev/two-grid, O(b²) per device) win weak
+    scaling even at worse iteration counts.
+    """
+    import math
+
+    p = math.isqrt(n_chips)
+    assert p * p == n_chips, "square mesh"
+    n = p * b
+    t_mxu = T_DST_2048 * (b / 2048.0) ** 3 * p  # 8 b³ √P flops at roofline
+    rs_bytes = 4 * ((p - 1) / max(p, 1)) * n * b * 4  # 4 transforms, f32
+    t_rs = rs_bytes / BW_ICI + 4 * max(p - 1, 0) * T_LAT
+    return {
+        "local_block": b,
+        "n_chips": n_chips,
+        "global_side": n,
+        "t_mxu_us": t_mxu * 1e6,
+        "t_reduce_scatter_us": t_rs * 1e6,
+        "rs_share": t_rs / (t_mxu + t_rs),
+    }
+
+
 def main():
     rows = []
     print(f"{'b':>6} {'chips':>6} {'t_c us':>8} {'t_x us':>8} {'t_r us':>8} "
@@ -106,11 +145,24 @@ def main():
                   f"{r['t_exchange_us']:>8.2f} "
                   f"{r['t_reduce_amortized_us']:>8.2f} "
                   f"{r['eff_no_overlap']:>7.1%} {r['eff_overlapped']:>7.1%}")
+    dst_rows = []
+    print(f"\nglobal-DST apply (fft_poisson scope=\"global\"):")
+    print(f"{'b':>6} {'chips':>6} {'n_glob':>7} {'t_mxu us':>9} "
+          f"{'t_rs us':>8} {'rs%':>6}")
+    for b in (512, 1024, 2048):
+        for nc in (4, 16, 64, 256):
+            r = dst_apply_point(b, nc)
+            dst_rows.append(r)
+            print(f"{b:>6} {nc:>6} {r['global_side']:>7} "
+                  f"{r['t_mxu_us']:>9.0f} {r['t_reduce_scatter_us']:>8.1f} "
+                  f"{r['rs_share']:>6.1%}")
     blob = {
         "model": "v5e 2-D torus halo matvec (see module docstring)",
         "constants": {"bw_ici_B_per_s": BW_ICI, "t_lat_s": T_LAT,
-                      "t_c_2048_s": T_C_2048, "cheb_degree": 16},
+                      "t_c_2048_s": T_C_2048, "t_dst_2048_s": T_DST_2048,
+                      "cheb_degree": 16},
         "points": rows,
+        "dst_apply_points": dst_rows,
     }
     print(json.dumps(blob))
 

@@ -36,3 +36,23 @@ def test_reduction_latency_is_the_eroding_term():
     bare = sm.model_point(2048, 256, cheb_degree=0)
     amortized = sm.model_point(2048, 256, cheb_degree=16)
     assert bare["eff_overlapped"] < amortized["eff_overlapped"]
+
+
+def test_dst_apply_point_regimes():
+    """The global-DST apply model (docs/design.md "three shapes"): per-device
+    MXU time grows exactly with sqrt(P) under weak scaling (even flop
+    division of the 8n^3 transform), comm share grows with P, and the
+    calibration point reproduces the measured single-chip apply."""
+    # calibration: P=1 would be the measured single-chip apply; check via
+    # the P=4 point being exactly 2x the single-chip MXU time at b=2048
+    p4 = sm.dst_apply_point(2048, 4)
+    assert abs(p4["t_mxu_us"] - 2 * sm.T_DST_2048 * 1e6) < 1e-9
+    # weak scaling: t_mxu scales with sqrt(P)
+    p16 = sm.dst_apply_point(2048, 16)
+    assert abs(p16["t_mxu_us"] / p4["t_mxu_us"] - 2.0) < 1e-12
+    # comm share monotone in P at fixed b
+    shares = [sm.dst_apply_point(1024, n)["rs_share"] for n in (4, 16, 64, 256)]
+    assert shares == sorted(shares)
+    # the documented few-chip regime: at b=2048, P=4 the apply is
+    # MXU-majority (comm share < 50%)
+    assert p4["rs_share"] < 0.5
