@@ -59,6 +59,26 @@ def main():
               f"(single-device: {int(info_ref.stats.inner_iterations)}) "
               f"max|Δu|={diff:.2e}")
 
+    # The flagship preconditioner, sharded-exact: fft_poisson(scope="global")
+    # runs the same DST eigen-solve as the single-chip flagship through
+    # distributed MXU matmuls (tiled reduce-scatters, no all_gather) —
+    # iteration counts match the single-device preconditioned solve exactly.
+    from newtonkrylov_tpu.fftprec import fft_poisson
+
+    u_d1, info_d1 = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="cg", M=fft_poisson())
+    mesh = make_mesh((2, 4), ("i", "j"))
+    F_local = sharded_residual_2d(padded_residual, ("i", "j"), "dirichlet")
+    u_d8, info_d8 = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs={"algo": "cg",
+                       "M": fft_poisson(axis_names=("i", "j"), scope="global")})
+    diff = float(jnp.max(jnp.abs(np.asarray(u_d8) - np.asarray(u_d1))))
+    print(f"mesh (2, 4) + global DST: solved={bool(info_d8.solved)} "
+          f"inner={int(info_d8.stats.inner_iterations)} "
+          f"(single-device DST: {int(info_d1.stats.inner_iterations)}) "
+          f"max|Δu|={diff:.2e}")
+
 
 if __name__ == "__main__":
     main()
