@@ -1,17 +1,21 @@
 """Sharded preconditioning (VERDICT r2 missing #1).
 
-Two sharded preconditioners ride under ``newton_krylov_sharded``:
+Three sharded preconditioners ride under ``newton_krylov_sharded``:
 
 * global-operator Chebyshev (``precond.chebyshev(axis_names=...)``) — each
   polynomial step halo-exchanges and applies the *global* stencil, so the
   preconditioned iteration counts must equal the single-device ones;
 * block-Jacobi DST (``fftprec.fft_poisson(axis_names=...)``) — local solves,
   zero communication per apply, with a recorded Schwarz iteration-count
-  penalty.
+  penalty;
+* globally-exact DST (``fft_poisson(..., scope="global")``) — distributed
+  sine-basis matmuls (tiled reduce-scatter per transform), the single-chip
+  flagship eigen-solve run sharded with identical iteration counts.
 
-Structure tests pin that a Chebyshev apply costs exactly one exchange
-round (4 ppermutes on a 2-D mesh, inside the fori_loop) and ZERO global
-reductions.
+Structure tests pin the collective cost of each: a Chebyshev apply is one
+exchange round (4 ppermutes on a 2-D mesh, inside the fori_loop) and ZERO
+global reductions; a global-DST apply is exactly 4 reduce-scatters and no
+all_gather.
 """
 
 import re
@@ -261,3 +265,17 @@ def test_global_dst_apply_structure():
     assert c1["all_gather"] == 0 and c2["all_gather"] == 0, (c1, c2)
     assert c2["reduce_scatter"] - c1["reduce_scatter"] == 4, (c1, c2)
     assert c1["psum"] == 1 and c2["psum"] == 1, (c1, c2)
+
+
+def test_sharded_global_dst_1d_mesh():
+    """Global DST on a 1-D row mesh: axis-1 takes the unsharded local-matmul
+    fallback while axis-0 reduce-scatters — counts still match single-device."""
+    u_ref, info_ref = _single_device(M=fft_poisson())
+    u_sh, info_sh = _sharded(
+        (8,), ("i", None),
+        fft_poisson(axis_names=("i", None), scope="global"))
+    assert bool(info_sh.solved)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
+    assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+    assert abs(int(info_sh.stats.inner_iterations)
+               - int(info_ref.stats.inner_iterations)) <= 1
