@@ -192,8 +192,10 @@ def main():
     # deployment (docs/design.md).  Cheb-PCG runs the fused VMEM chain
     # kernel per inner iteration — on ONE chip it loses to plain CG's
     # cheaper per-matvec loop (polynomial preconditioning buys reduction
-    # rounds, which cost ~nothing here); it is the sharded default, where
-    # each dot's psum tree latency is amortized degree× (scaling_model.py).
+    # rounds, which cost ~nothing here); sharded it is the large-pod
+    # choice, where each dot's psum tree latency is amortized degree×
+    # (scaling_model.py; the few-to-mid-chip production path is the
+    # sharded-exact global DST, fftprec scope="global").
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
              ("MG-PCG", multigrid2d(), "outer", (1024,)),
              ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),
