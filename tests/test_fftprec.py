@@ -67,3 +67,16 @@ def test_unscaled_operator_and_rectangular_grid():
     u, info = newton_krylov_jit(bratu2d.residual, u0, p, algo="cg", M=fft_poisson())
     assert bool(info.solved)
     assert int(info.stats.inner_iterations) <= int(info.stats.outer_iterations) + 3
+
+
+def test_global_scope_argument_validation():
+    import pytest
+
+    from newtonkrylov_tpu.fftprec import fft_poisson
+
+    with pytest.raises(ValueError, match="requires axis_names"):
+        fft_poisson(scope="global")
+    with pytest.raises(ValueError, match="matmul engine"):
+        fft_poisson(scope="global", method="fft", axis_names=("i", "j"))
+    with pytest.raises(ValueError, match="unknown scope"):
+        fft_poisson(scope="galactic")
