@@ -118,7 +118,8 @@ def dst_apply_point(b: int, n_chips: int) -> dict:
     import math
 
     p = math.isqrt(n_chips)
-    assert p * p == n_chips, "square mesh"
+    if p * p != n_chips:
+        raise ValueError("n_chips must be a perfect square (square mesh)")
     n = p * b
     t_mxu = T_DST_2048 * (b / 2048.0) ** 3 * p  # 8 b³ √P flops at roofline
     rs_bytes = 4 * ((p - 1) / max(p, 1)) * n * b * 4  # 4 transforms, f32

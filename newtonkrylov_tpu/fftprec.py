@@ -194,6 +194,17 @@ def _global_dst_solver(o, d, shape_local, axis_names, shift, precision):
     Pi = jax.lax.axis_size(ax0) if ax0 is not None else 1
     Pj = jax.lax.axis_size(ax1) if ax1 is not None else 1
     n, m = nl * Pi, ml * Pj
+    if max(n, m) > _MATMUL_MAX_N:
+        # scope="global" has only the matmul engine; past the documented
+        # matmul validity range the replicated n×n basis (O((b·p)²) memory
+        # per device) and the n³ contraction cost both blow up silently —
+        # fail loudly instead (ADVICE r3).
+        raise ValueError(
+            f'scope="global" inferred a global side of {max(n, m)} > '
+            f"{_MATMUL_MAX_N} (= _MATMUL_MAX_N): the distributed sine-basis "
+            "matmul engine is not valid at this size; use scope='local' or a "
+            "Chebyshev/two-grid preconditioner at pod scale."
+        )
     dtype = d.dtype
     axes = tuple(a for a in (ax0, ax1) if a is not None)
 
@@ -245,7 +256,10 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
       scale.
     * ``"fft"`` — odd-extension FFT path (the textbook formulation; lengths
       2(n+1) hit Bluestein on TPU, ~14× slower at 1024²).
-    * ``"auto"`` (default) — matmul for sides ≤ 4096, FFT above.
+    * ``"auto"`` (default) — matmul for sides ≤ 4096, FFT above.  With
+      ``scope="global"`` the matmul engine is *always* used regardless of
+      size (it is the only distributed engine); global sides past the
+      matmul validity range raise instead of silently degrading.
 
     ``precision`` sets the matmul precision.  ``"highest"`` (default) is the
     six-pass f32 MXU mode (~5e-5 transform error); ``"high"`` is the

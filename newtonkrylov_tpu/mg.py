@@ -36,7 +36,8 @@ from jax import lax
 
 from .operator import JacobianOperator
 
-__all__ = ["multigrid2d", "vcycle", "probe_5point", "transfer_matmul"]
+__all__ = ["multigrid2d", "vcycle", "probe_5point", "probe_5point_general",
+           "transfer_matmul"]
 
 
 def _neighbor_sum(u):
@@ -216,6 +217,57 @@ def probe_5point(J: JacobianOperator, row_offset=0, col_offset=0):
     o = outs[0, n // 2 + 1, m // 2]  # neighbor entry = off-diagonal coefficient
     d = sum(jnp.where(color == c, outs[1 + c], 0.0) for c in range(5))
     return o, d
+
+
+def probe_5point_general(J: JacobianOperator, row_offset=0, col_offset=0):
+    """Extract all five coefficient fields of a *variable-coefficient*
+    5-point operator by mod-3 colored probing.
+
+    Operator model (general nonsymmetric 5-point stencil, e.g. the
+    convection–diffusion Jacobian — problems/convdiff2d.py):
+
+        (A v)_{ij} = a0·v_{ij} + aip·v_{i+1,j} + aim·v_{i-1,j}
+                   + ajp·v_{i,j+1} + ajm·v_{i,j-1}
+
+    with every coefficient a per-point field.  Returns
+    ``(a0, aip, aim, ajp, ajm)``; couplings that would reach outside the
+    grid come back exactly zero (the operator never produces them).
+
+    Probing: three stripes ``row ≡ c (mod 3)`` isolate, at each point,
+    the i±1 couplings and the row-local sum ``a0 + ajp + ajm`` (the j
+    neighbors share the point's row color); three column stripes do the
+    transpose.  Six JVPs in ONE batched ``J.mm`` sweep, recovery by masked
+    select-sums — exact, no large-number cancellation (cf.
+    :func:`probe_5point`'s precision notes).  Under ``shard_map`` pass the
+    block's global origin as ``row_offset``/``col_offset`` so colors stay
+    globally consistent across seams.
+    """
+    u = J.u
+    n, m = u.shape
+    dtype = u.dtype
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0) + row_offset
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1) + col_offset
+    rm = rows % 3
+    cm = cols % 3
+
+    probes = jnp.stack(
+        [(rm == c).astype(dtype) for c in range(3)]
+        + [(cm == c).astype(dtype) for c in range(3)]
+    )
+    outs = J.mm(probes)  # (6, n, m)
+
+    def sel(block, idx):
+        return sum(jnp.where(idx == c, block[c], 0.0) for c in range(3))
+
+    x0 = sel(outs[0:3], rm)            # a0 + ajp + ajm
+    aip = sel(outs[0:3], (rm + 1) % 3)  # row r+1 ≡ c ⇒ probe hits the i+1 slot
+    aim = sel(outs[0:3], (rm + 2) % 3)
+    y0 = sel(outs[3:6], cm)            # a0 + aip + aim
+    ajp = sel(outs[3:6], (cm + 1) % 3)
+    ajm = sel(outs[3:6], (cm + 2) % 3)
+    a0 = 0.5 * (x0 + y0 - aip - aim - ajp - ajm)
+    return a0, aip, aim, ajp, ajm
 
 
 def multigrid2d(

@@ -26,6 +26,19 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
 
 **Recipe map** (measured on CPU f64, tests/test_convdiff.py):
 
+* **Flagship, any convection strength (incl. c = 25) — on-device ADI**:
+  ``newton_krylov_jit`` + ``algo="gmres"``, ``M=precond.adi(sweeps=4)``,
+  ``krylov_kwargs={"restart": None, "itmax": ...}``.  The alternating-
+  direction preconditioner solves each direction's transport *exactly along
+  lines* (batched Thomas solves on the probed nonsymmetric stencil,
+  precond.py), so it is immune to the convection strength that breaks the
+  Laplacian-only DST.  Measured totals (4 outers at c = 2 / 7 at c = 25):
+  c = 2: 18 → 21 → 24 for n = 32 → 64 → 128 (flatter than DST, below);
+  c = 25: 77 → 121 → 190 → 290 for n = 32 → 64 → 128 → 256 — ~2.6–4.4×
+  below host-ILU's ≈ 5·n at the same sizes, with every op jitted on device.
+  Sweeps beyond 4 give diminishing returns (c = 25, n = 64: 121/103/92 for
+  4/6/8 sweeps): the H–V commutator model error, not cycle quality,
+  dominates.
 * **Moderate convection (c ≲ 4, the default c = 2)** — ``algo="gmres"``,
   ``M=fft_poisson()``, ``krylov_kwargs={"restart": None, "itmax": ...}``
   (non-restarted: the preconditioned spectrum has a few h-growing outliers,
@@ -38,12 +51,13 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
   zeroth-order potential c·(u_x+u_y) rivals Δ's lowest eigenvalue 2π² once
   c ≳ π√2 — at c = 6 the preconditioned spectrum straddles the origin
   (measured real range [−90, +14] at n = 32) and DST-GMRES stalls outright.
-* **Convection-dominated (any c, incl. c = 25)** — the reference's own
-  robust family (`/root/reference/examples/bratu.jl:121-128`):
+* **Host-side alternative (any c)** — the reference's own robust family
+  (`/root/reference/examples/bratu.jl:121-128`):
   ``newton_krylov`` (host driver) + ``N=ilu0(offsets=(-n, -1, 0, 1, n))``,
   exact Newton.  Solves c = 25 from the zero start in 7 outers at every
-  tested size; counts ≈ 5·n per solve (ILU's usual O(√κ) growth), immune to
-  the convection strength where the Laplacian preconditioner breaks.
+  tested size; counts ≈ 5·n per solve (ILU's usual O(√κ) growth) and a
+  ``pure_callback`` host round-trip per inner apply — kept as the
+  literal-parity recipe; prefer ADI on TPU.
 
 Forcing: at c = 2 both exact Newton (``forcing=None``, 4 outers) and the
 Eisenstat–Walker default (9 outers, looser inners) converge; at large c the
