@@ -193,9 +193,14 @@ def main():
     # kernel per inner iteration — on ONE chip it loses to plain CG's
     # cheaper per-matvec loop (polynomial preconditioning buys reduction
     # rounds, which cost ~nothing here); sharded it is the large-pod
-    # choice, where each dot's psum tree latency is amortized degree×
-    # (scaling_model.py; the few-to-mid-chip production path is the
-    # sharded-exact global DST, fftprec scope="global").
+    # choice.  MEASURED on the 8-device mesh (SCALING_r04.json
+    # "measured_collectives", benchmarks/collectives.py): Cheb(16) cuts
+    # psum reduction rounds per solve 7x (580 -> 82) for ~1.9x more
+    # stencil work (187 -> 357 matvec-equivalents) — the trade that wins
+    # once psum tree latency rivals the local stencil time (the
+    # few-to-mid-chip production path is the sharded-exact global DST,
+    # fftprec scope="global": 4 psum_scatters + 3 psums per inner,
+    # 5 inners total at the dryrun shape).
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
              ("MG-PCG", multigrid2d(), "outer", (1024,)),
              ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),

@@ -1,4 +1,4 @@
-"""Weak-scaling evidence harness (VERDICT r1 weak #6) → SCALING_r03.json.
+"""Weak-scaling evidence harness (VERDICT r1 weak #6) → SCALING_r04.json.
 
 Runs the halo-exchange stencil-JVP weak-scaling sweep over virtual CPU
 device meshes (8/16/32 forced host devices; each device count needs its own
@@ -18,7 +18,7 @@ per local block against v5e ICI/HBM constants, predicting ≥95% overlapped
 efficiency at 2048² local blocks through 256 chips) plus the
 mesh-independent collective-structure tests (tests/test_scaling_structure.py).
 
-Usage: python benchmarks/run_scaling.py  (writes SCALING_r03.json at repo
+Usage: python benchmarks/run_scaling.py  (writes SCALING_r04.json at repo
 root)
 """
 
@@ -65,8 +65,32 @@ def run_child(n_devices: int, mode: str, arg: str):
     raise RuntimeError(f"child failed (ndev={n_devices}):\n{r.stdout}\n{r.stderr}")
 
 
+def run_collectives_child():
+    """Spawn benchmarks/collectives.py on an 8-virtual-device mesh."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    # `python benchmarks/collectives.py` puts benchmarks/ (not the repo
+    # root) on sys.path; the package import needs the root.
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "benchmarks", "collectives.py")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=1200,
+    )
+    for line in r.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"collectives child failed:\n{r.stdout}\n{r.stderr}")
+
+
 def main():
-    from scaling_model import BW_ICI, T_DST_2048, T_LAT, dst_apply_point, model_point
+    from scaling_model import (
+        BW_ICI, T_DST_2048, T_LAT, dst_apply_point, measured_config_point,
+        model_point,
+    )
 
     results = {"note": (
         "virtual CPU devices: validates communication structure / constant "
@@ -82,6 +106,25 @@ def main():
                                  for b in (512, 1024, 2048)
                                  for n in (4, 16, 64, 256)],
         }}
+
+    # Measured per-solve collective budget (VERDICT r3 next #2): static
+    # jaxpr counts per nesting level x executed iteration counts, then the
+    # model's amortization terms recomputed from the MEASURED counts.
+    coll = run_collectives_child()
+    results["measured_collectives"] = coll
+    equiv = {"cg_plain": 1.0, "cg_cheb16": 17.0, "production_dst_df32": 1.0}
+    results["model_from_measured"] = [
+        dict(config=name, **measured_config_point(
+            b, n, coll["configs"][name]["levels"]["per_krylov_inner"],
+            equiv[name]))
+        for name in coll["configs"]
+        for b in (512, 1024, 2048)
+        for n in (4, 16, 64, 256)
+    ]
+    for name, cfg in coll["configs"].items():
+        print(f"collectives {name}: per-inner "
+              f"{cfg['levels']['per_krylov_inner']} -> per-solve "
+              f"{cfg['totals_per_solve']}")
 
     # 1-D row-decomposition sweep within each forced device count
     for ndev, counts in ((8, "1,2,4,8"), (16, "16",), (32, "32",)):
@@ -101,7 +144,7 @@ def main():
     results["points_2d"].extend(pts2)
     print(f"2d mesh 2x4: {pts2[0]['matvecs_per_s']:.0f}/s")
 
-    out = os.path.join(REPO, "SCALING_r03.json")
+    out = os.path.join(REPO, "SCALING_r04.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")

@@ -44,7 +44,7 @@ the overlapped schedule also hides latency, and it ignores that XLA batches
 the two axis-0 ppermutes into one collective-permute pair.
 
 Usage: python benchmarks/scaling_model.py  → table to stdout, JSON blob on
-the last line (embedded into SCALING_r03.json by run_scaling.py).
+the last line (embedded into SCALING_r04.json by run_scaling.py).
 """
 
 import json
@@ -131,6 +131,51 @@ def dst_apply_point(b: int, n_chips: int) -> dict:
         "t_mxu_us": t_mxu * 1e6,
         "t_reduce_scatter_us": t_rs * 1e6,
         "rs_share": t_rs / (t_mxu + t_rs),
+    }
+
+
+def measured_config_point(b: int, n_chips: int, per_inner: dict,
+                          matvec_equiv: float) -> dict:
+    """Per-Krylov-inner-iteration time budget from *measured* collective
+    counts (benchmarks/collectives.py; VERDICT r3 next #2) instead of the
+    analytic amortization assumption of :func:`model_point`.
+
+    ``per_inner`` is the traced program's per-inner-iteration collective
+    count dict (keys ``ppermute``/``psum``/``psum_scatter``);
+    ``matvec_equiv`` the number of b×b stencil-apply-equivalents of local
+    compute per inner iteration (1 for plain CG's matvec; 17 for
+    Cheb(16)+matvec).  Square p×p mesh.  Conservative: halo-exchange
+    rounds (4 measured ppermutes = one round on 4 distinct torus links)
+    are charged at full wire time, psums at full tree latency, each
+    psum_scatter at its (n × b)-partial wire time; the DST's distributed
+    matmul compute is charged per psum_scatter/4 applies at the measured
+    single-chip roofline rate.
+    """
+    import math
+
+    p = math.isqrt(n_chips)
+    if p * p != n_chips:
+        raise ValueError("n_chips must be a perfect square (square mesh)")
+    tc = matvec_equiv * t_compute(b)
+    rounds = per_inner.get("ppermute", 0) / 4.0
+    tx = rounds * t_exchange(b)
+    tr = per_inner.get("psum", 0) * math.ceil(math.log2(max(n_chips, 2))) * T_LAT
+    n_rs = per_inner.get("psum_scatter", 0)
+    t_rs = 0.0
+    if n_rs:
+        n = p * b
+        per_rs = ((p - 1) / p) * n * b * 4 / BW_ICI + max(p - 1, 0) * T_LAT
+        t_rs = n_rs * per_rs
+        tc += (n_rs / 4.0) * T_DST_2048 * (b / 2048.0) ** 3 * p  # DST matmuls
+    total = max(tc, tx) + tr + t_rs
+    return {
+        "local_block": b, "n_chips": n_chips,
+        "per_inner_counts": dict(per_inner),
+        "matvec_equiv": matvec_equiv,
+        "t_compute_us": tc * 1e6, "t_exchange_us": tx * 1e6,
+        "t_reduce_us": tr * 1e6, "t_reduce_scatter_us": t_rs * 1e6,
+        "eff_overlapped": tc / total,
+        "comm_share": (tx + tr + t_rs) / (tc + tx + tr + t_rs),
     }
 
 

@@ -87,3 +87,37 @@ def test_sharded_dot_is_one_psum():
     counts = _collective_counts(str(jax.make_jaxpr(f)(x, x)))
     assert counts["psum"] == 1, counts
     assert counts["all_gather"] == 0, counts
+
+
+def test_full_solve_per_inner_collective_counts():
+    """Pin the MEASURED per-Krylov-inner-iteration collective budget of the
+    three production sharded configurations (benchmarks/collectives.py →
+    SCALING_r04.json).  These are the numbers the scaling model's
+    amortization terms are fed with — a refactor that adds an exchange, an
+    all_gather, or an extra reduction per inner iteration changes them."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    try:
+        from collectives import collective_counts_by_level, config_traceable
+    finally:
+        sys.path.pop(0)
+
+    mesh = make_mesh((4, 2), ("i", "j"))
+    expected = {
+        # matvec exchange = 4 ppermutes; CG = 3 psums (dots + norm)
+        "cg_plain": {"ppermute": 4, "psum": 3},
+        # + degree x 4 exchange rounds inside the Chebyshev apply,
+        # ZERO extra reductions — the communication-avoiding shape
+        "cg_cheb16": {"ppermute": 4 + 16 * 4, "psum": 3},
+        # + 4 tiled reduce-scatters per global-DST apply, no all_gather
+        "production_dst_df32": {"ppermute": 4, "psum": 3, "psum_scatter": 4},
+    }
+    for name, want in expected.items():
+        fn, args = config_traceable(name, mesh, 32)
+        levels = collective_counts_by_level(fn, *args)
+        per_inner = levels[2]
+        assert per_inner == want, (name, per_inner)
+        for lvl in levels.values():
+            assert "all_gather" not in lvl and "all_to_all" not in lvl, (name, levels)
