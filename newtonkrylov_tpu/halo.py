@@ -372,6 +372,8 @@ def integrate_scan_sharded(
     axis_names: Optional[Sequence[str]] = None,
     tol_abs: float = 6.0e-6,
     newton_kwargs: Optional[dict] = None,
+    p_spec: Optional[Any] = None,
+    snapshot_every: Optional[int] = None,
 ):
     """Implicit time march over a sharded domain as one SPMD XLA program.
 
@@ -380,13 +382,23 @@ def integrate_scan_sharded(
     ``stepper`` is a :data:`~newtonkrylov_tpu.timestep.STEPPERS` key or
     builder.  Each step runs a whole Newton–Krylov solve with psum-backed
     reductions; ``lax.scan`` chains the steps.  Returns a
-    :class:`~newtonkrylov_tpu.timestep.MarchResult` (``history=None`` — keep
-    snapshots via checkpointing for long sharded marches).
+    :class:`~newtonkrylov_tpu.timestep.MarchResult`.
 
-    ``p`` is closed over (global shape on every device); per-gridpoint
-    parameter fields need the ``p_spec`` treatment of
-    :func:`newton_krylov_sharded` — open an issue of the same shape here if
-    you hit it.  Step times are ``t0 + (k+1)·dt`` in the default float dtype;
+    ``p`` is closed over (global shape on every device) unless ``p_spec``
+    (a pytree of PartitionSpecs congruent with ``p``) is given, in which
+    case per-gridpoint parameter fields are sharded like the state — the
+    same seam as :func:`newton_krylov_sharded`.  A df32 march passes
+    ``newton_kwargs=dict(residual_df=...)`` with a per-word-exchanging df32
+    step residual (:func:`~newtonkrylov_tpu.timestep.implicit_euler_df`
+    over a :func:`sharded_residual_df_2d`-style RHS); the error-free
+    two-sum chains see exactly the single-device values, so acceptance
+    stays exact under sharding (tests/test_halo.py pins the parity).
+
+    ``snapshot_every=k`` stacks every k-th state (sharded like ``u0``,
+    leading time axis replicated) into ``history`` — device-resident, so
+    size it to HBM; for long marches prefer
+    :mod:`~newtonkrylov_tpu.utils.checkpointing`.  ``history=None`` when
+    unset.  Step times are ``t0 + (k+1)·dt`` in the default float dtype;
     with x64 off, time-dependent RHS evaluation carries f32 rounding.
     """
     from .timestep import STEPPERS, MarchResult, StepParams
@@ -399,32 +411,73 @@ def integrate_scan_sharded(
     newton_kwargs.setdefault("tol_abs", tol_abs)
     space = ShardedSpace(axis_names=axis_names)
     fdtype = jnp.result_type(float)
+    if snapshot_every is not None and snapshot_every < 1:
+        raise ValueError("snapshot_every must be a positive int")
 
-    def local_march(u0_local):
+    def march_body(u0_local, p_local):
         def one_step(un, k):
             # k is int32 (exact far beyond 2^24, unlike a float counter)
             t = t0 + (k + 1).astype(fdtype) * dt
-            sp = StepParams(un=un, dt=dt, p=p, t=t)
+            sp = StepParams(un=un, dt=dt, p=p_local, t=t)
             u, info = newton_krylov_jit(G, un, sp, space=space, **newton_kwargs)
-            return u, (info.solved, info.stats.outer_iterations, info.stats.inner_iterations)
+            return u, (info.solved, info.stats.outer_iterations,
+                       info.stats.inner_iterations)
 
-        ks = jnp.arange(n_steps, dtype=jnp.int32)
-        u_fin, stats = lax.scan(one_step, u0_local, ks)
-        return u_fin, stats
+        if snapshot_every is None:
+            ks = jnp.arange(n_steps, dtype=jnp.int32)
+            return lax.scan(one_step, u0_local, ks)
+
+        # Nested scan: the outer loop stacks ONE state per chunk, so HBM
+        # holds n_steps // snapshot_every snapshots, not n_steps states.
+        n_chunks, rem = divmod(n_steps, snapshot_every)
+
+        def chunk(un, kc):
+            ks = kc * snapshot_every + jnp.arange(snapshot_every,
+                                                  dtype=jnp.int32)
+            u_end, stats = lax.scan(one_step, un, ks)
+            return u_end, (stats, u_end)
+
+        u_fin, (cstats, snaps) = lax.scan(
+            chunk, u0_local, jnp.arange(n_chunks, dtype=jnp.int32))
+        stats = jax.tree.map(
+            lambda a: a.reshape((n_chunks * snapshot_every,) + a.shape[2:]),
+            cstats)
+        if rem:
+            ks = n_chunks * snapshot_every + jnp.arange(rem, dtype=jnp.int32)
+            u_fin, rstats = lax.scan(one_step, u_fin, ks)
+            stats = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                                 stats, rstats)
+        return u_fin, (stats, snaps)
 
     scalar = P()
-    wrapped = jax.shard_map(
-        local_march,
-        mesh=mesh,
-        in_specs=(in_spec,),
-        out_specs=((in_spec, (scalar, scalar, scalar))),
-        check_vma=False,
-    )
+    stat_specs = (scalar, scalar, scalar)
+    out_specs = (in_spec, stat_specs if snapshot_every is None
+                 else (stat_specs, P(None, *in_spec)))
     u0_sharded = shard_array(u0, mesh, in_spec)
-    u_fin, (solved, outers, inners) = jax.jit(wrapped)(u0_sharded)
+    if p_spec is None:
+        # p closed over — scalar params keep their weak-typed Python
+        # semantics (dx etc. stay compile-time constants)
+        wrapped = jax.shard_map(
+            lambda u0_local: march_body(u0_local, p),
+            mesh=mesh, in_specs=(in_spec,), out_specs=out_specs,
+            check_vma=False,
+        )
+        u_fin, out = jax.jit(wrapped)(u0_sharded)
+    else:
+        wrapped = jax.shard_map(
+            march_body, mesh=mesh, in_specs=(in_spec, p_spec),
+            out_specs=out_specs, check_vma=False,
+        )
+        p_in = jax.tree.map(lambda leaf, spec: shard_array(leaf, mesh, spec),
+                            p, p_spec)
+        u_fin, out = jax.jit(wrapped)(u0_sharded, p_in)
+    if snapshot_every is None:
+        (solved, outers, inners), history = out, None
+    else:
+        (solved, outers, inners), history = out
     return MarchResult(
         u=u_fin,
-        history=None,
+        history=history,
         ts=t0 + dt * jnp.arange(1, n_steps + 1),
         n_failed=jnp.sum(jnp.logical_not(solved)),
         outer_iterations=outers,

@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from ..ops.stencil import laplacian_2d, pad_dirichlet, pad_periodic
 
 __all__ = [
-    "Params", "default_config", "rhs", "rhs_df", "initial_condition",
-    "grid", "stable_dt",
+    "Params", "default_config", "rhs", "rhs_df", "rhs_df_padded",
+    "initial_condition", "grid", "stable_dt",
 ]
 
 
@@ -80,6 +80,16 @@ def rhs_df(u, p: Params, t=None):
 
     pad = pad_dirichlet if p.bc == "zero" else pad_periodic
     up = dd.df_map(pad, u)
+    return rhs_df_padded(up, u, p, t)
+
+
+def rhs_df_padded(up, u, p: Params, t=None):
+    """df32 RHS core on a pre-padded DF block (sharded marches: per-word
+    halo exchange fills ``up``, cf. halo.sharded_residual_df_2d — exchange
+    is pure data movement, so the two-sum chains see exactly the
+    single-device values; tests/test_halo.py pins the parity)."""
+    from .. import df32 as dd
+
     m2u = dd.scale_pow2(u, -2.0)
     lx = dd.add(dd.add(dd.shift(up, 1, 0), dd.shift(up, -1, 0)), m2u)
     ly = dd.add(dd.add(dd.shift(up, 0, 1), dd.shift(up, 0, -1)), m2u)
