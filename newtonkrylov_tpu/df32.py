@@ -50,7 +50,7 @@ __all__ = [
     "df_from_f64", "df_to_f64", "df_from_f32", "tree_add_f32",
     "add", "add_f32", "sub", "neg", "mul", "mul_f32", "exp", "norm_hi",
     "df_map", "shift", "neighbor_sum", "scale_pow2", "scale_const",
-    "scaled_exp", "selfcheck",
+    "scaled_exp", "df_matvec", "selfcheck",
 ]
 
 
@@ -325,6 +325,50 @@ def scaled_exp(a: DF, c: float) -> DF:
     out = exp(add(a, DF(jnp.full_like(a.hi, lnc_hi),
                         jnp.full_like(a.hi, lnc_lo))))
     return out if cf > 0 else neg(out)
+
+
+def _comp_sum_last(P, E):
+    """Compensated tree sum of ``P`` along the last axis: two_sum at every
+    reduction level keeps the running sum error-free; the generated error
+    terms fold into ``E`` with plain adds (each is ≤ εΣ|P|, so the naive
+    error-sum's own rounding is O(ε²Σ|P|) — below the double-word target).
+    Returns ``(s, e)`` with Σ = s + e to ~2⁻⁴⁶."""
+    n = P.shape[-1]
+    n2 = 1 << max(n - 1, 1).bit_length()
+    if n2 != n:
+        pad = [(0, 0)] * (P.ndim - 1) + [(0, n2 - n)]
+        P = jnp.pad(P, pad)
+        E = jnp.pad(E, pad)
+    while P.shape[-1] > 1:
+        m = P.shape[-1] // 2
+        s, e = two_sum(P[..., :m], P[..., m:])
+        E = E[..., :m] + E[..., m:] + e
+        P = s
+    return P[..., 0], E[..., 0]
+
+
+def df_matvec(A: DF, x: DF) -> DF:
+    """y = A @ x in double-float — the double-word matvec for dense-operator
+    residuals (the SBP ``D1m @ (D1p @ u)`` composition of heat1d_dg;
+    VERDICT r3 next #7).
+
+    ``A`` is a DF split of the (possibly f64-built) matrix
+    (:func:`df_from_f64`), shape (n, m); ``x`` a DF vector of length m.
+    Hi×hi products are exact (:func:`two_prod`) and tree-summed with
+    compensation (:func:`_comp_sum_last`); the hi×lo / lo×hi cross terms —
+    already ~ε relative to the main term — run as plain f32 contractions at
+    HIGHEST precision (their rounding is O(ε²) of the result).  Cost:
+    O(n·m) VPU ops — for the ~160² SBP operators this is elementwise-bound,
+    not MXU-bound, and keeps the whole march free of emulated f64.
+    """
+    import jax as _jax
+
+    P, E = two_prod(A.hi, x.hi[None, :])
+    s, e = _comp_sum_last(P, E)
+    hi = _jax.lax.Precision.HIGHEST
+    small = e + (jnp.dot(A.hi, x.lo, precision=hi)
+                 + jnp.dot(A.lo, x.hi, precision=hi))
+    return DF(*fast_two_sum(s, small))
 
 
 def selfcheck() -> bool:

@@ -200,6 +200,7 @@ def newton_krylov(
     residual_dtype=None,
     krylov_dtype=None,
     precond_refresh: str = "outer",
+    residual_df: Optional[Callable] = None,
 ):
     """Solve F(u, p) = 0 by inexact Newton–Krylov (reference semantics).
 
@@ -213,6 +214,14 @@ def newton_krylov(
     ``precond_refresh="once"`` freezes the M/N factories at the u₀ operator,
     as in :func:`newton_krylov_jit`.
 
+    ``residual_df`` is the df32 acceptance path of :func:`newton_krylov_jit`
+    brought to THIS driver, so host-side preconditioner factories (ilu0,
+    banded_lu — the reference's robustness recipes) compose with the 1e-8
+    mixed-precision story: state carried as a df32 pair, inner loop in
+    ``krylov_dtype`` (default f32), acceptance residual in double-word
+    arithmetic.  Excludes ``residual_dtype``/``linesearch``; the callback
+    receives the hi words.
+
     Returns ``(u, NewtonInfo)``.
     """
     space = space or EuclideanSpace()
@@ -224,17 +233,33 @@ def newton_krylov(
     def _cast(tree, dt):
         return jax.tree.map(lambda l: l.astype(dt), tree)
 
-    if residual_dtype is not None:
+    if residual_df is not None:
+        from . import df32 as _dd
+
+        if residual_dtype is not None or linesearch is not None:
+            raise ValueError("residual_df excludes residual_dtype and linesearch")
+        if krylov_dtype is None:
+            krylov_dtype = jnp.float32
+        out_f64 = any(
+            jnp.dtype(l.dtype) == jnp.float64 for l in jax.tree.leaves(u0)
+        )
+        u0 = _dd.df_from_f64(u0)
+        outer_res = lambda u: residual_df(u, p)
+    elif residual_dtype is not None:
         outer_res = lambda u: F(_cast(u, residual_dtype), p)
     else:
         outer_res = lambda u: F(u, p)
 
     t0 = time.perf_counter()
     res = outer_res(u0)
-    _gmres_parity_default(krylov_kwargs, algo, res)
-    n_res = float(space.norm(res))
+    _gmres_parity_default(krylov_kwargs, algo,
+                          res.hi if residual_df is not None else res)
+    n_res = float(space.norm(res.hi if residual_df is not None else res))
     if callback is not None:
-        callback(u0, res, n_res)
+        if residual_df is not None:
+            callback(u0.hi, res.hi, n_res)
+        else:
+            callback(u0, res, n_res)
 
     tol = tol_rel * n_res + tol_abs
     eta = forcing.initial() if forcing is not None else None
@@ -260,8 +285,12 @@ def newton_krylov(
 
     m_static = n_static = None
     if precond_refresh == "once" and (M is not None or N is not None):
-        u_for_J0 = _cast(u0, krylov_dtype) if krylov_dtype is not None else u0
-        J0 = JacobianOperator(F, u_for_J0, p)
+        if residual_df is not None:
+            u_for_J0 = _cast(u0.hi, krylov_dtype)
+            J0 = JacobianOperator(F, u_for_J0, _cast_floating(p, krylov_dtype))
+        else:
+            u_for_J0 = _cast(u0, krylov_dtype) if krylov_dtype is not None else u0
+            J0 = JacobianOperator(F, u_for_J0, p)
         if slots:  # host factories: factorize once, never refreshed again
             for s in slots:
                 s.refresh(J0)
@@ -273,7 +302,13 @@ def newton_krylov(
 
     def step(u, eta_val, rtol_override):
         """One Newton iteration: linearize, inner-solve, update."""
-        if krylov_dtype is not None:
+        if residual_df is not None:
+            # df32 refined path: linearize at the hi word (f32), RHS = the
+            # double-word residual's hi word — same shape as the jit driver.
+            u_low = _cast(u.hi, krylov_dtype)
+            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
+            b = _cast(residual_df(u, p).hi, krylov_dtype)
+        elif krylov_dtype is not None:
             u_low = _cast(u, krylov_dtype)
             J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
             b = _cast(outer_res(u), krylov_dtype)
@@ -296,6 +331,12 @@ def newton_krylov(
             kw["rtol"] = rtol_override
         result = solvers.solve(algo, J, b, **kw)
         d = result.x
+        if residual_df is not None:
+            d32 = _cast(d, jnp.float32)
+            u_new = _dd.tree_add_f32(u, jax.tree.map(jnp.negative, d32))
+            res_new = residual_df(u_new, p)
+            n_new = space.norm(res_new.hi)
+            return u_new, res_new, n_new, result.niter
         if krylov_dtype is not None:
             state_dt = jnp.result_type(*[l.dtype for l in jax.tree.leaves(u)])
             d = _cast(d, state_dt)
@@ -323,8 +364,13 @@ def newton_krylov(
         if slots:
             # Re-factorize on the current linearization point (reference
             # factory semantics) with a CONCRETE operator, outside the jit.
-            u_for_J = _cast(u, krylov_dtype) if krylov_dtype is not None else u
-            J_concrete = JacobianOperator(F, u_for_J, p)
+            if residual_df is not None:
+                u_for_J = _cast(u.hi, krylov_dtype)
+                J_concrete = JacobianOperator(
+                    F, u_for_J, _cast_floating(p, krylov_dtype))
+            else:
+                u_for_J = _cast(u, krylov_dtype) if krylov_dtype is not None else u
+                J_concrete = JacobianOperator(F, u_for_J, p)
             for s in slots:
                 s.refresh(J_concrete)
         u, res, n_res_dev, niter = step(u, eta, eta if forcing is not None else None)
@@ -332,7 +378,10 @@ def newton_krylov(
         n_res = float(n_res_dev)
         niter = int(niter)
         if callback is not None:
-            callback(u, res, n_res)
+            if residual_df is not None:
+                callback(u.hi, res.hi, n_res)
+            else:
+                callback(u, res, n_res)
 
         if not math.isfinite(n_res):
             # src/Ariadne.jl:353-356
@@ -349,6 +398,8 @@ def newton_krylov(
             print(f"[newton_krylov] outer={stats.outer_iterations} |F|={n_res:.6e} eta={eta} inner+={niter}")
 
     t = time.perf_counter() - t0
+    if residual_df is not None:
+        u = _dd.df_to_f64(u) if out_f64 else u.hi
     return u, NewtonInfo(solved=n_res <= tol, stats=stats, t=t)
 
 

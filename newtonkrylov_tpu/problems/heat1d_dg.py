@@ -24,7 +24,8 @@ from ..ops.sbp import (
     periodic_upwind_operators,
 )
 
-__all__ = ["Params", "dg_config", "upwind_config", "rhs", "initial_condition"]
+__all__ = ["Params", "dg_config", "upwind_config", "rhs", "rhs_df",
+           "initial_condition"]
 
 
 class Params(NamedTuple):
@@ -59,3 +60,20 @@ def initial_condition(p: Params):
 def rhs(u, p: Params, t=None):
     """du = D1m @ (D1p @ u) (examples/heat_1D_DG.jl:32-36)."""
     return p.D1m @ (p.D1p @ u)
+
+
+def rhs_df(u, p: Params, t=None):
+    """du in df32 double-float arithmetic (``u`` a DF pair): the SBP
+    operator composition as two double-word matvecs
+    (:func:`~newtonkrylov_tpu.df32.df_matvec` — exact hi×hi products +
+    compensated tree sums).  Pair with
+    :func:`~newtonkrylov_tpu.timestep.implicit_euler_df` so DG/upwind heat
+    marches reach a ≤1e-8 acceptance residual with no emulated f64 in the
+    loop (tests/test_df32_problems.py pins it against the f64 oracle).
+    Operator splits (``df_from_f64``) are loop-invariant — XLA hoists them.
+    """
+    from .. import df32 as dd
+
+    Dm = dd.df_from_f64(p.D1m)
+    Dp = dd.df_from_f64(p.D1p)
+    return dd.df_matvec(Dm, dd.df_matvec(Dp, u))

@@ -195,3 +195,86 @@ def test_heat2d_euler_step_refined_to_1e8():
     # acceptance residual truly met in f64
     rG = G(u.astype(jnp.float64), sp)
     assert float(jnp.linalg.norm(rG)) <= 1.2e-8 * float(jnp.linalg.norm(G(un, sp)))
+
+
+# --- VERDICT r3 next #7: the last corners of the df32 problem matrix --------
+
+def test_bvp_residual_df_matches_f64():
+    """Staggered trapezoidal-collocation residual in double-word arithmetic
+    vs the f64 oracle (boundary rows are exact placements)."""
+    from newtonkrylov_tpu.problems import bvp
+
+    p = bvp.default_config(201)
+    U0 = bvp.initial_guess(p).astype(jnp.float64) * 1.01
+    want = bvp.residual(U0, p)
+    got = dd.df_to_f64(bvp.residual_df(dd.df_from_f64(U0), p))
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-12
+
+
+def test_df_matvec_matches_f64():
+    """The double-word matvec: exact hi×hi products + compensated tree sum
+    vs an f64 matmul oracle, at df32 (~1e-13) accuracy — far beyond the
+    ~1e-5 a plain f32 matmul reaches at this length."""
+    rng = np.random.default_rng(5)
+    A64 = jnp.asarray(rng.standard_normal((160, 160)))
+    x64 = jnp.asarray(rng.standard_normal(160))
+    want = A64 @ x64
+    got = dd.df_to_f64(dd.df_matvec(dd.df_from_f64(A64), dd.df_from_f64(x64)))
+    scale = float(jnp.max(jnp.abs(A64)) * jnp.max(jnp.abs(x64))) * 160
+    assert float(jnp.max(jnp.abs(got - want))) / scale < 1e-12
+
+
+def test_heat1d_dg_rhs_df_matches_f64():
+    """SBP operator composition D1m(D1p u) as two double-word matvecs, DG
+    and upwind configs, vs the f64 oracle."""
+    from newtonkrylov_tpu.problems import heat1d_dg
+
+    for cfg in (heat1d_dg.dg_config(), heat1d_dg.upwind_config()):
+        u = heat1d_dg.initial_condition(cfg).astype(jnp.float64) * 0.93
+        want = heat1d_dg.rhs(u, cfg)
+        got = dd.df_to_f64(heat1d_dg.rhs_df(dd.df_from_f64(u), cfg))
+        rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+        assert rel < 1e-11, rel
+
+
+def test_bvp_refined_to_1e8_with_host_banded_lu():
+    """BVP driven to ‖F‖ ≤ 1e-8·‖F₀‖ through the HOST driver's df32 path
+    (VERDICT r3 next #7): f32 Krylov loop + pivoted banded-LU host
+    preconditioner + double-word acceptance residual — the robust recipe
+    (pentadiagonal Jacobian, zero-diagonal BC rows) now reaches TPU-grade
+    tolerances with no emulated f64 in the loop."""
+    from newtonkrylov_tpu import newton_krylov, precond
+    from newtonkrylov_tpu.problems import bvp
+
+    p = bvp.default_config()
+    U0 = bvp.initial_guess(p).astype(jnp.float64)
+    U, info = newton_krylov(
+        bvp.residual, U0, p, algo="gmres", N=precond.banded_lu(2, 2),
+        tol_rel=1e-8, residual_df=bvp.residual_df)
+    assert bool(info.solved)
+    assert int(info.stats.outer_iterations) <= 15  # measured 9, ~1 inner each
+    assert abs(float(U[1])) < 1e-8 and abs(float(U[-2])) < 1e-8
+
+
+def test_heat1d_dg_step_refined_to_1e8():
+    """One DG implicit-Euler step to a 1e-8 acceptance residual via
+    implicit_euler_df over the double-word SBP matvec."""
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.problems import heat1d_dg
+    from newtonkrylov_tpu.timestep import StepParams, implicit_euler, implicit_euler_df
+
+    p = heat1d_dg.dg_config()
+    u0 = heat1d_dg.initial_condition(p).astype(jnp.float64)
+    dt = 1e-4
+    sp = StepParams(un=u0, dt=dt, p=p, t=dt)
+    u1, info = newton_krylov_jit(
+        implicit_euler(heat1d_dg.rhs), u0, sp, algo="gmres", tol_rel=1e-8,
+        residual_df=implicit_euler_df(heat1d_dg.rhs_df),
+        krylov_kwargs={"restart": None, "itmax": 200}, max_niter=10)
+    assert bool(info.solved)
+    # the step must actually diffuse: compare against an f64 oracle step
+    u_ref, info_ref = newton_krylov_jit(
+        implicit_euler(heat1d_dg.rhs), u0, sp, algo="gmres", tol_rel=1e-10,
+        krylov_kwargs={"restart": None, "itmax": 200}, max_niter=10)
+    assert bool(info_ref.solved)
+    assert float(jnp.max(jnp.abs(u1 - u_ref))) < 1e-7
