@@ -273,9 +273,26 @@ def build(out_dir: Path, strict: bool) -> int:
 </div></body></html>"""
         (out_dir / f"{stem}.html").write_text(page)
 
+    # executed walkthrough figures (docs/_figures, produced by
+    # run_walkthroughs.py — the notebook-with-plots analogue,
+    # /root/reference/docs/make.jl:10-29) ship with the site
+    figdir = DOCS / "_figures"
+    if figdir.is_dir():
+        import shutil
+
+        out_figs = out_dir / "_figures"
+        out_figs.mkdir(exist_ok=True)
+        for f in sorted(figdir.glob("*.png")):
+            shutil.copy2(f, out_figs / f.name)
+
     # linkcheck: internal targets must exist; externals inventoried
     stems = set(rendered)
     for stem, body in rendered.items():
+        for src_ in re.findall(r'<img[^>]*\ssrc="([^"]+)"', body):
+            if src_.startswith(("http://", "https://")):
+                ext_links.add(src_)
+            elif not (out_dir / src_).exists():
+                problems.append(f"{stem}: missing image {src_}")
         for href in re.findall(r'href="([^"]+)"', body):
             if href.startswith(("http://", "https://")):
                 ext_links.add(href)

@@ -22,7 +22,14 @@ BLOCK = re.compile(r"```python\n(.*?)```", re.DOTALL)
 def run(path: str) -> None:
     src = open(path).read()
     blocks = BLOCK.findall(src)
-    ns = {"__name__": f"walkthrough:{os.path.basename(path)}"}
+    figdir = os.path.join(DOCS, "_figures")
+    os.makedirs(figdir, exist_ok=True)
+    # FIGDIR: where a walkthrough's final figure block saves its PNG —
+    # committed into docs/_figures and copied into the site by
+    # build_docs.py (the executed-notebook-with-plots analogue,
+    # /root/reference/docs/make.jl:10-29).
+    ns = {"__name__": f"walkthrough:{os.path.basename(path)}",
+          "FIGDIR": figdir}
     print(f"== {os.path.basename(path)} ({len(blocks)} blocks)")
     for i, block in enumerate(blocks):
         code = compile(block, f"{path}[block {i}]", "exec")
