@@ -51,9 +51,17 @@ def _apply(u, o, d):
 
 
 def _restrict(r):
-    """Cell-centered full-weighting: 2×2 block mean."""
-    n, m = r.shape
-    return r.reshape(n // 2, 2, m // 2, 2).mean(axis=(1, 3))
+    """Cell-centered full-weighting: 2×2 block mean.
+
+    Strided slices, NOT ``reshape(n//2, 2, m//2, 2).mean((1, 3))``: the 4-D
+    intermediate's trailing size-2 dim tile-pads 64× under the TPU (8, 128)
+    layout — at 4096² that one temp is 4 GB and buffer assignment holding a
+    few of them OOMs HBM (measured: the round-4 two-grid 4096² lane needed
+    20.2 G of 15.75 G before this change).  Slices keep every intermediate
+    2-D at its natural size.
+    """
+    return 0.25 * ((r[0::2, 0::2] + r[0::2, 1::2])
+                   + (r[1::2, 0::2] + r[1::2, 1::2]))
 
 
 def _prolong(e):

@@ -420,7 +420,56 @@ def banded_direct() -> Callable:
     return factory
 
 
-def adi(sweeps: int = 4, *, bounds=None) -> Callable:
+def _adi_build(coeffs, sweeps: int, bounds):
+    """ADI apply from probed 5-point coefficient fields (see :func:`adi`)."""
+    a0, aip, aim, ajp, ajm = coeffs
+    n, m = a0.shape
+    dtype = a0.dtype
+
+    # Internally solve the sign-flipped ("positive") system s·A z = s·r.
+    s = jnp.where(jnp.mean(a0) < 0, -1.0, 1.0).astype(dtype)
+    b0, bip, bim, bjp, bjm = s * a0, s * aip, s * aim, s * ajp, s * ajm
+    hd = 0.5 * b0
+    vd = 0.5 * b0
+
+    if bounds is not None:
+        alpha = jnp.asarray(bounds[0], dtype)
+        beta = jnp.asarray(bounds[1], dtype)
+    else:
+        beta_h = jnp.max(hd + jnp.abs(bip) + jnp.abs(bim))
+        beta_v = jnp.max(vd + jnp.abs(bjp) + jnp.abs(bjm))
+        beta = jnp.maximum(beta_h, beta_v)
+        N = max(n, m)
+        alpha = beta * (np.sin(np.pi / (2.0 * (N + 1))) ** 2)
+    # Wachspress cycle: geometric points of [α, β] at the Chebyshev-like
+    # exponents (2j+1)/(2·sweeps), descending from β toward α.
+    ratio = alpha / beta
+    rhos = [beta * ratio ** ((2 * j + 1) / (2.0 * sweeps))
+            for j in range(sweeps)]
+
+    def Hmul(z):
+        zp = jnp.pad(z, ((1, 1), (0, 0)))
+        return bim * zp[:-2, :] + hd * z + bip * zp[2:, :]
+
+    def Vmul(z):
+        zp = jnp.pad(z, ((0, 0), (1, 1)))
+        return bjm * zp[:, :-2] + vd * z + bjp * zp[:, 2:]
+
+    solve_cols = jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)
+    solve_rows = jax.vmap(thomas_solve, in_axes=(0, 0, 0, 0), out_axes=0)
+
+    def apply(r):
+        f = s * r
+        z = jnp.zeros_like(f)
+        for rho in rhos:
+            z = solve_cols(bim, hd + rho, bip, f + rho * z - Vmul(z))
+            z = solve_rows(bjm, vd + rho, bjp, f + rho * z - Hmul(z))
+        return z
+
+    return apply
+
+
+def adi(sweeps: int = 4, *, bounds=None, axis_names=None) -> Callable:
     """Factory: ADI (Peaceman–Rachford alternating-direction) preconditioner
     for general — including **nonsymmetric** — 5-point operators on 2-D
     array states.  Fully jittable: the on-device answer to the regime where
@@ -452,58 +501,38 @@ def adi(sweeps: int = 4, *, bounds=None) -> Callable:
 
     Sign-normalizing internally (our Δx²-scaled stencils are negative
     definite), so PD and ND operators both work.
+
+    **Sharded use**: pass ``axis_names=(ax0, ax1)`` (mesh axis per array
+    dim, None = unsharded) to run as **block-ADI** inside a shard_map body
+    — each device line-relaxes its *local* block with zero-Dirichlet walls
+    at shard seams (the Thomas forward/back sweeps and the within-block
+    H/V matvecs truncate there by construction).  Additive-Schwarz
+    semantics like ``fft_poisson(scope="local")``: ZERO communication per
+    apply (no ppermute, no psum — the probe's global color offsets are the
+    only mesh-aware part), paying a modest iteration-count penalty that
+    grows with the subdomain count (tests record it).  The right shape for
+    the convection-dominated regime at pod scale, where a latency-bound
+    mesh rules out per-sweep global line solves.
     """
     if sweeps < 1:
         raise ValueError("adi needs sweeps >= 1")
 
     from .mg import probe_5point_general
 
+    if axis_names is not None:
+        ax0, ax1 = axis_names
+
+        def sharded_factory(J: JacobianOperator):
+            nl, ml = J.u.shape
+            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
+            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            return _adi_build(probe_5point_general(J, roff, coff),
+                              sweeps, bounds)
+
+        return sharded_factory
+
     def factory(J: JacobianOperator):
-        a0, aip, aim, ajp, ajm = probe_5point_general(J)
-        n, m = a0.shape
-        dtype = a0.dtype
-
-        # Internally solve the sign-flipped ("positive") system s·A z = s·r.
-        s = jnp.where(jnp.mean(a0) < 0, -1.0, 1.0).astype(dtype)
-        b0, bip, bim, bjp, bjm = s * a0, s * aip, s * aim, s * ajp, s * ajm
-        hd = 0.5 * b0
-        vd = 0.5 * b0
-
-        if bounds is not None:
-            alpha = jnp.asarray(bounds[0], dtype)
-            beta = jnp.asarray(bounds[1], dtype)
-        else:
-            beta_h = jnp.max(hd + jnp.abs(bip) + jnp.abs(bim))
-            beta_v = jnp.max(vd + jnp.abs(bjp) + jnp.abs(bjm))
-            beta = jnp.maximum(beta_h, beta_v)
-            N = max(n, m)
-            alpha = beta * (np.sin(np.pi / (2.0 * (N + 1))) ** 2)
-        # Wachspress cycle: geometric points of [α, β] at the Chebyshev-like
-        # exponents (2j+1)/(2·sweeps), descending from β toward α.
-        ratio = alpha / beta
-        rhos = [beta * ratio ** ((2 * j + 1) / (2.0 * sweeps))
-                for j in range(sweeps)]
-
-        def Hmul(z):
-            zp = jnp.pad(z, ((1, 1), (0, 0)))
-            return bim * zp[:-2, :] + hd * z + bip * zp[2:, :]
-
-        def Vmul(z):
-            zp = jnp.pad(z, ((0, 0), (1, 1)))
-            return bjm * zp[:, :-2] + vd * z + bjp * zp[:, 2:]
-
-        solve_cols = jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)
-        solve_rows = jax.vmap(thomas_solve, in_axes=(0, 0, 0, 0), out_axes=0)
-
-        def apply(r):
-            f = s * r
-            z = jnp.zeros_like(f)
-            for rho in rhos:
-                z = solve_cols(bim, hd + rho, bip, f + rho * z - Vmul(z))
-                z = solve_rows(bjm, vd + rho, bjp, f + rho * z - Hmul(z))
-            return z
-
-        return apply
+        return _adi_build(probe_5point_general(J), sweeps, bounds)
 
     return factory
 

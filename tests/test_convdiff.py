@@ -219,3 +219,26 @@ def test_sharded_solve_matches_single_device():
     assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
     assert int(info_sh.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
     np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
+
+
+def test_block_adi_sharded_convection_dominated():
+    """Block-ADI (additive-Schwarz line relaxation, zero communication per
+    apply) solves c = 25 under shard_map; the Schwarz iteration-count
+    penalty vs single-device ADI is recorded here (121 -> 189 measured on
+    the 2x2 mesh at n = 64)."""
+    n = 64
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(convdiff2d.residual_scaled_padded,
+                                  ("i", "j"), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs=dict(algo="gmres", tol_rel=1e-10, forcing=None,
+                           max_niter=15, M=adi(4, axis_names=("i", "j")),
+                           krylov_kwargs={"restart": None, "itmax": 300}),
+        p_spec=convdiff2d.Params(dx=P(), c=P(), b=P("i", "j")))
+    assert bool(info_sh.solved)
+    assert int(info_sh.stats.inner_iterations) <= 240  # measured 189
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u_sh - us))) < 1e-9
