@@ -440,7 +440,12 @@ def _adi_build(coeffs, sweeps: int, bounds):
         beta_v = jnp.max(vd + jnp.abs(bjp) + jnp.abs(bjm))
         beta = jnp.maximum(beta_h, beta_v)
         N = max(n, m)
-        alpha = beta * (np.sin(np.pi / (2.0 * (N + 1))) ** 2)
+        # keep the NumPy scalar out of the multiply: under x64 an np.f64
+        # would promote the whole ρ cycle (and through it every
+        # preconditioned Krylov vector) to f64 — fatal when the operator is
+        # linearized at f32 (krylov_dtype paths)
+        alpha = beta * jnp.asarray(np.sin(np.pi / (2.0 * (N + 1))) ** 2,
+                                   dtype)
     # Wachspress cycle: geometric points of [α, β] at the Chebyshev-like
     # exponents (2j+1)/(2·sweeps), descending from β toward α.
     ratio = alpha / beta

@@ -242,3 +242,22 @@ def test_block_adi_sharded_convection_dominated():
     assert int(info_sh.stats.inner_iterations) <= 240  # measured 189
     us = convdiff2d.manufactured_solution(n, jnp.float64)
     assert float(jnp.max(jnp.abs(u_sh - us))) < 1e-9
+
+
+def test_adi_composes_with_df32_refinement():
+    """Regression: the ADI ρ-cycle must stay in the probe dtype — under x64
+    a stray NumPy f64 scalar promoted every preconditioned Krylov vector to
+    f64 and broke the f32-linearized JVP (round 4).  The production
+    mixed-precision path (f32 Krylov + df32 acceptance) over ADI at c=25."""
+    n = 64
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    u, info = newton_krylov_jit(
+        convdiff2d.residual_scaled, u0, p,
+        algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+        residual_df=convdiff2d.residual_scaled_df,
+        M=adi(4), forcing=None, max_niter=15,
+        krylov_kwargs={"restart": None, "itmax": 300})
+    assert bool(info.solved)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u - us))) < 1e-6
