@@ -212,7 +212,7 @@ def main():
     # fftprec scope="global": 4 psum_scatters + 3 psums per inner,
     # 5 inners total at the dryrun shape).
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
-             ("MG-PCG", multigrid2d(), "outer", (1024,)),
+             ("MG-PCG", multigrid2d(), "outer", (1024, 2048)),
              ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),
              ("Cheb-PCG", chebyshev(16, lo_frac=1 / 300), "once", (1024,)),
              ("two-grid", two_grid(8, precision="high"), "once",
@@ -250,6 +250,53 @@ def main():
                     f"({ms*1e3/max(inner,1):.0f} us/inner)")
             except Exception as e:  # a dead lane must not cost the metric line
                 log(f"JFNK lane [{tag}] {ns}x{ns} FAILED: {type(e).__name__}: {e}")
+
+    # --- robustness lane: convection-dominated convdiff via on-device ADI ---
+    # The nonsymmetric regime where Laplacian preconditioners break
+    # (problems/convdiff2d.py recipe map): GMRES(80) + precond.adi(4), f32
+    # Krylov loop + df32 acceptance, everything jitted — no host callbacks
+    # (the reference's only robust recipe here is host-side ILU).
+    # restart=80 because the inner cost here is CGS2 over the stacked
+    # fixed-shape basis, not the ADI apply: at 256² the 80-wide basis
+    # keeps counts near the full-space ones (334 vs 290 measured) at
+    # ~5x less orthogonalization traffic.
+    try:
+        from newtonkrylov_tpu.precond import adi
+        from newtonkrylov_tpu.problems import convdiff2d
+
+        nc = 256
+        pc = convdiff2d.default_config(nc, c=25.0, dtype=jnp.float64)
+        uc0 = convdiff2d.initial_guess(nc, jnp.float64)
+
+        @jax.jit
+        def f_adi(u0, k):
+            def body(i, acc):
+                u_in = u0 + 1e-6 * (i + 1) + 1e-30 * acc
+                u, info = newton_krylov_jit(
+                    convdiff2d.residual_scaled, u_in, pc,
+                    algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+                    residual_df=convdiff2d.residual_scaled_df,
+                    M=adi(4), forcing=None, max_niter=15,
+                    krylov_kwargs={"restart": 80, "itmax": 600})
+                return acc + jnp.sum(u) + info.stats.inner_iterations
+            return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float64))
+
+        float(f_adi(uc0, 1)); float(f_adi(uc0, 3))
+        tc1 = min(_wall(f_adi, uc0, 1, r) for r in range(2))
+        tc3 = min(_wall(f_adi, uc0, 3, r + 2) for r in range(2))
+        ms_adi = max(tc3 - tc1, 0.0) / 2 * 1e3
+        uc, infoc = jax.jit(lambda u0: newton_krylov_jit(
+            convdiff2d.residual_scaled, u0, pc,
+            algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+            residual_df=convdiff2d.residual_scaled_df,
+            M=adi(4), forcing=None, max_niter=15,
+            krylov_kwargs={"restart": 80, "itmax": 600}))(uc0)
+        log(f"convdiff c=25 {nc}x{nc} to 1e-8 [ADI on-device]: "
+            f"marginal {ms_adi:.1f} ms/solve, solved={bool(infoc.solved)} "
+            f"outer={int(infoc.stats.outer_iterations)} "
+            f"inner={int(infoc.stats.inner_iterations)}")
+    except Exception as e:
+        log(f"ADI lane FAILED: {type(e).__name__}: {e}")
 
     # --- headline: flagship 2048² ms/solve vs its hardware floor ------------
     # Floor construction (docstring): measure the bf16x3 DST apply directly

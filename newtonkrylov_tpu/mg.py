@@ -53,15 +53,18 @@ def _apply(u, o, d):
 def _restrict(r):
     """Cell-centered full-weighting: 2×2 block mean.
 
-    Strided slices, NOT ``reshape(n//2, 2, m//2, 2).mean((1, 3))``: the 4-D
-    intermediate's trailing size-2 dim tile-pads 64× under the TPU (8, 128)
-    layout — at 4096² that one temp is 4 GB and buffer assignment holding a
-    few of them OOMs HBM (measured: the round-4 two-grid 4096² lane needed
-    20.2 G of 15.75 G before this change).  Slices keep every intermediate
-    2-D at its natural size.
+    ``lax.reduce_window`` (native TPU pooling), NOT
+    ``reshape(n//2, 2, m//2, 2).mean((1, 3))`` and NOT stride-2 slices —
+    both were measured pathological on TPU in round 4: the 4-D reshape's
+    trailing size-2 dim tile-pads 64× under the (8, 128) layout (4 GB per
+    temp at 4096²; the two-grid 4096² lane demanded 20.2 G of 15.75 G HBM),
+    and four ``r[0::2, 0::2]``-style strided slices lower to lane-dim
+    relayouts that took the MG-PCG 1024² bench lane from 74.7 to 710
+    ms/solve.  Pooling keeps 2-D shapes and runs at VPU speed.
     """
-    return 0.25 * ((r[0::2, 0::2] + r[0::2, 1::2])
-                   + (r[1::2, 0::2] + r[1::2, 1::2]))
+    s = lax.reduce_window(r, jnp.zeros((), r.dtype), lax.add,
+                          (2, 2), (2, 2), "VALID")
+    return 0.25 * s
 
 
 def _prolong(e):

@@ -39,7 +39,7 @@ from .operator import JacobianOperator, materialize_banded, materialize_csr
 
 __all__ = [
     "nested_krylov", "jacobi", "banded_direct", "banded_lu", "ilu0",
-    "thomas_solve", "chebyshev", "two_grid", "adi",
+    "thomas_solve", "pcr_solve", "chebyshev", "two_grid", "adi",
 ]
 
 
@@ -396,6 +396,66 @@ def thomas_solve(dl, d, du, b):
     return xs_rev
 
 
+def pcr_solve(dl, d, du, b, axis: int = 0):
+    """Batched tridiagonal solve by parallel cyclic reduction — the
+    TPU-shaped alternative to :func:`thomas_solve`.
+
+    Thomas is O(n) work but n *sequential* ``lax.scan`` steps: vmapped over
+    an ADI batch on TPU that is pure launch/loop latency (~0.4 µs × n per
+    solve — measured ~1 ms per ADI apply at 256²).  PCR does ~3× the flops
+    in ⌈log₂ n⌉ fully vectorized elementwise steps over the whole
+    (n, batch) block — VPU-parallel in both the system index and the batch.
+    Each step eliminates the couplings at stride k:
+
+        α = −dl/d₍ᵢ₋ₖ₎,  γ = −du/d₍ᵢ₊ₖ₎
+        d ← d + α·du₍ᵢ₋ₖ₎ + γ·dl₍ᵢ₊ₖ₎,  b ← b + α·b₍ᵢ₋ₖ₎ + γ·b₍ᵢ₊ₖ₎
+        dl ← α·dl₍ᵢ₋ₖ₎,  du ← γ·du₍ᵢ₊ₖ₎
+
+    with out-of-range neighbors read as identity rows (d=1, rest 0) — rows
+    whose stride-k neighbor falls outside already carry a zero coupling, so
+    the fill only guards the division.  After ⌈log₂ n⌉ doublings every row
+    is decoupled: x = b/d.  Stable for the diagonally dominant systems ADI
+    produces (H + ρI).  ``dl[i] = A[i, i−1]`` (dl[0] = 0 semantics as in
+    :func:`thomas_solve`); arrays are (n, batch) 2-D (or 1-D for a single
+    system), solved along ``axis``.
+    """
+    single = d.ndim == 1
+    if single:
+        dl, d, du, b = (x[:, None] for x in (dl, d, du, b))
+        axis = 0
+    if axis == 1:
+        dl, d, du, b = (x.T for x in (dl, d, du, b))
+
+    n = d.shape[0]
+    zero = jnp.zeros((), d.dtype)
+    one = jnp.ones((), d.dtype)
+    # boundary semantics: dl[0] / du[-1] are unused couplings
+    dl = dl.at[0].set(0.0)
+    du = du.at[-1].set(0.0)
+
+    def down(x, k, fill):  # value at row i−k
+        return jnp.concatenate(
+            [jnp.full((k,) + x.shape[1:], fill, x.dtype), x[:-k]], axis=0)
+
+    def up(x, k, fill):  # value at row i+k
+        return jnp.concatenate(
+            [x[k:], jnp.full((k,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+    k = 1
+    while k < n:
+        alpha = -dl / down(d, k, one)
+        gamma = -du / up(d, k, one)
+        d = d + alpha * down(du, k, zero) + gamma * up(dl, k, zero)
+        b = b + alpha * down(b, k, zero) + gamma * up(b, k, zero)
+        dl = alpha * down(dl, k, zero)
+        du = gamma * up(du, k, zero)
+        k *= 2
+    x = b / d
+    if axis == 1:
+        x = x.T
+    return x[:, 0] if single else x
+
+
 def banded_direct() -> Callable:
     """Factory: exact tridiagonal solve on the banded materialization.
 
@@ -420,7 +480,7 @@ def banded_direct() -> Callable:
     return factory
 
 
-def _adi_build(coeffs, sweeps: int, bounds):
+def _adi_build(coeffs, sweeps: int, bounds, engine: str = "auto"):
     """ADI apply from probed 5-point coefficient fields (see :func:`adi`)."""
     a0, aip, aim, ajp, ajm = coeffs
     n, m = a0.shape
@@ -460,8 +520,20 @@ def _adi_build(coeffs, sweeps: int, bounds):
         zp = jnp.pad(z, ((0, 0), (1, 1)))
         return bjm * zp[:, :-2] + vd * z + bjp * zp[:, 2:]
 
-    solve_cols = jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)
-    solve_rows = jax.vmap(thomas_solve, in_axes=(0, 0, 0, 0), out_axes=0)
+    # Engine: Thomas = O(n) work, n sequential scan steps (CPU-shaped);
+    # PCR = ~3× flops, ⌈log₂ n⌉ vectorized steps (TPU-shaped — measured
+    # ~25× faster per ADI apply at 256² on v5e, see pcr_solve).
+    use_pcr = engine == "pcr" or (
+        engine == "auto" and jax.default_backend() == "tpu")
+    if use_pcr:
+        def solve_cols(dl, dd_, du, f):
+            return pcr_solve(dl, dd_, du, f, axis=0)
+
+        def solve_rows(dl, dd_, du, f):
+            return pcr_solve(dl, dd_, du, f, axis=1)
+    else:
+        solve_cols = jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)
+        solve_rows = jax.vmap(thomas_solve, in_axes=(0, 0, 0, 0), out_axes=0)
 
     def apply(r):
         f = s * r
@@ -474,7 +546,8 @@ def _adi_build(coeffs, sweeps: int, bounds):
     return apply
 
 
-def adi(sweeps: int = 4, *, bounds=None, axis_names=None) -> Callable:
+def adi(sweeps: int = 4, *, bounds=None, axis_names=None,
+        engine: str = "auto") -> Callable:
     """Factory: ADI (Peaceman–Rachford alternating-direction) preconditioner
     for general — including **nonsymmetric** — 5-point operators on 2-D
     array states.  Fully jittable: the on-device answer to the regime where
@@ -521,6 +594,8 @@ def adi(sweeps: int = 4, *, bounds=None, axis_names=None) -> Callable:
     """
     if sweeps < 1:
         raise ValueError("adi needs sweeps >= 1")
+    if engine not in ("auto", "thomas", "pcr"):
+        raise ValueError(f"unknown engine {engine!r}")
 
     from .mg import probe_5point_general
 
@@ -532,12 +607,12 @@ def adi(sweeps: int = 4, *, bounds=None, axis_names=None) -> Callable:
             roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
             coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
             return _adi_build(probe_5point_general(J, roff, coff),
-                              sweeps, bounds)
+                              sweeps, bounds, engine)
 
         return sharded_factory
 
     def factory(J: JacobianOperator):
-        return _adi_build(probe_5point_general(J), sweeps, bounds)
+        return _adi_build(probe_5point_general(J), sweeps, bounds, engine)
 
     return factory
 

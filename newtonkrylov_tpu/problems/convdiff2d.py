@@ -38,7 +38,12 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
   below host-ILU's ≈ 5·n at the same sizes, with every op jitted on device.
   Sweeps beyond 4 give diminishing returns (c = 25, n = 64: 121/103/92 for
   4/6/8 sweeps): the H–V commutator model error, not cycle quality,
-  dominates.
+  dominates.  Composes with the production mixed-precision path
+  (``krylov_dtype=jnp.float32`` + ``residual_df=residual_scaled_df``:
+  c = 25, n = 64 refines to 1e-8 in 7 outers / 89 inners) and with
+  sharding (``adi(axis_names=...)`` = zero-communication block-ADI;
+  189 inners on a 2×2 mesh vs 121 single-device — the recorded
+  additive-Schwarz penalty, tests/test_convdiff.py).
 * **Moderate convection (c ≲ 4, the default c = 2)** — ``algo="gmres"``,
   ``M=fft_poisson()``, ``krylov_kwargs={"restart": None, "itmax": ...}``
   (non-restarted: the preconditioned spectrum has a few h-growing outliers,
@@ -50,7 +55,10 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
   while the discrete norm ‖S⁻¹C‖ ~ c/(2π²·Δx) grows, and the linearization's
   zeroth-order potential c·(u_x+u_y) rivals Δ's lowest eigenvalue 2π² once
   c ≳ π√2 — at c = 6 the preconditioned spectrum straddles the origin
-  (measured real range [−90, +14] at n = 32) and DST-GMRES stalls outright.
+  (measured real range [−90, +14] at n = 32); restarted DST-GMRES then
+  stalls outright, and even an unrestarted 400-dim space limps at ~350
+  inners per outer (2401 total at c = 25, n = 96 — ~15–26× the ADI
+  recipe's cost at the same tolerance, examples/convdiff_2d.py).
 * **Host-side alternative (any c)** — the reference's own robust family
   (`/root/reference/examples/bratu.jl:121-128`):
   ``newton_krylov`` (host driver) + ``N=ilu0(offsets=(-n, -1, 0, 1, n))``,
