@@ -1,6 +1,7 @@
 """Preconditioner unit tests: nested Krylov, Jacobi, Thomas/banded direct,
 banded LU, and the C++ ILU(0) kernel vs its NumPy fallback."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -32,6 +33,48 @@ def test_thomas_solve_exact():
     b = A @ x
     got = thomas_solve(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du), jnp.asarray(b))
     np.testing.assert_allclose(got, x, rtol=1e-10)
+
+
+def test_pcr_solve_matches_thomas_and_oracle():
+    """Parallel cyclic reduction (the TPU ADI engine) vs Thomas and a
+    dense oracle — non-power-of-two sizes, single and batched, both axes."""
+    from newtonkrylov_tpu.precond import pcr_solve
+
+    for n in (7, 33, 50):
+        A, dl, d, du, x = tridiag_system(n=n, seed=n)
+        b = A @ x
+        got = pcr_solve(jnp.asarray(dl), jnp.asarray(d), jnp.asarray(du),
+                        jnp.asarray(b))
+        np.testing.assert_allclose(got, x, rtol=1e-10)
+
+    # batched, axis=0 and axis=1 consistent with vmapped Thomas
+    rng = np.random.default_rng(3)
+    n, m = 33, 12
+    dl = jnp.asarray(rng.standard_normal((n, m))) * 0.3
+    du = jnp.asarray(rng.standard_normal((n, m))) * 0.3
+    d = 2.0 + jnp.asarray(rng.random((n, m)))
+    b = jnp.asarray(rng.standard_normal((n, m)))
+    want = jax.vmap(thomas_solve, in_axes=(1, 1, 1, 1), out_axes=1)(dl, d, du, b)
+    np.testing.assert_allclose(pcr_solve(dl, d, du, b, axis=0), want, rtol=1e-9)
+    wantT = jax.vmap(thomas_solve)(dl, d, du, b)
+    np.testing.assert_allclose(pcr_solve(dl, d, du, b, axis=1), wantT, rtol=1e-9)
+
+
+def test_adi_engines_agree():
+    """adi(engine="pcr") and adi(engine="thomas") build the same linear map
+    (same probed operator, same rho cycle) up to roundoff."""
+    from newtonkrylov_tpu.operator import JacobianOperator
+    from newtonkrylov_tpu.problems import convdiff2d
+
+    n = 24
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    us = convdiff2d.manufactured_solution(n, jnp.float64) * 0.8
+    J = JacobianOperator(lambda u, pp: convdiff2d.residual_scaled(u, pp), us, p)
+    rng = np.random.default_rng(5)
+    r = jnp.asarray(rng.standard_normal((n, n)))
+    z_t = precond.adi(3, engine="thomas")(J)(r)
+    z_p = precond.adi(3, engine="pcr")(J)(r)
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_t), atol=1e-12)
 
 
 def test_ilu0_numpy_tridiagonal_is_exact_lu():
