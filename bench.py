@@ -212,7 +212,7 @@ def main():
     # fftprec scope="global": 4 psum_scatters + 3 psums per inner,
     # 5 inners total at the dryrun shape).
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
-             ("MG-PCG", multigrid2d(), "outer", (1024, 2048)),
+             ("MG-PCG", multigrid2d(), "outer", (1024, 2048, 4096)),
              ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),
              ("Cheb-PCG", chebyshev(16, lo_frac=1 / 300), "once", (1024,)),
              ("two-grid", two_grid(8, precision="high"), "once",
