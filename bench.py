@@ -168,26 +168,40 @@ def main():
     from newtonkrylov_tpu.precond import chebyshev, two_grid
 
     def make_chain_solve(ns, M=None, refresh="outer"):
+        # ONE compiled program per lane: the k-solve timing chain carries
+        # the last solve's NewtonInfo through the fori carry, so the
+        # convergence-facts verification reuses the k=1 call instead of
+        # compiling a second whole-solve program (remote compiles through
+        # the tunnel are ~45 s each and dominated bench wall time).
         ps = bratu2d.default_config(ns, lam=LAM)
+
+        def solve(u_in):
+            return newton_krylov_jit(
+                bratu2d.residual_scaled, u_in, ps,
+                algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
+                residual_df=bratu2d.residual_scaled_df,
+                max_niter=20, M=M, precond_refresh=refresh,
+            )
+
+        info_shape = jax.eval_shape(
+            solve, jax.ShapeDtypeStruct((ns, ns), jnp.float64))[1]
+        info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
 
         @jax.jit
         def f(u0, k):
-            def body(i, acc):
+            def body(i, carry):
+                acc, _ = carry
                 u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
-                u, info = newton_krylov_jit(
-                    bratu2d.residual_scaled, u_in, ps,
-                    algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
-                    residual_df=bratu2d.residual_scaled_df,
-                    max_niter=20, M=M, precond_refresh=refresh,
-                )
-                return acc + jnp.sum(u) + info.stats.inner_iterations
-            return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float64))
+                u, info = solve(u_in)
+                return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
+            return lax.fori_loop(0, k, body,
+                                 (jnp.zeros((), jnp.float64), info0))
         return f
 
     def _wall(f, u0, k, r):
         u = u0 * (1.0 + 1e-7 * (r + 1))
         t0 = time.perf_counter()
-        float(f(u, k))
+        float(f(u, k)[0])
         return time.perf_counter() - t0
 
     # Lanes: preconditioner x grid size.  Flagship = DST-PCG(high) with
@@ -229,17 +243,14 @@ def main():
                 # longer chains for small grids: a 512² DST solve is ~0.5 ms,
                 # so k=1 vs 3 differencing sits inside tunnel dispatch noise
                 k_hi = 9 if ns <= 512 else 3
-                float(f(u0s, 1)); float(f(u0s, k_hi))  # compile + warm
+                float(f(u0s, 1)[0]); float(f(u0s, k_hi)[0])  # compile + warm
                 t1 = min(_wall(f, u0s, 1, r) for r in range(2))
                 t3 = min(_wall(f, u0s, k_hi, r + 2) for r in range(2))
                 ms = max(t3 - t1, 0.0) / (k_hi - 1) * 1e3
                 # convergence facts: every timed lane is backed by a
-                # solved=True verification run (ADVICE r1)
-                u, info = jax.jit(lambda u0, M=M, ps=ps, rf=refresh: newton_krylov_jit(
-                    bratu2d.residual_scaled, u0, ps, algo="cg", tol_rel=1e-8,
-                    krylov_dtype=jnp.float32,
-                    residual_df=bratu2d.residual_scaled_df,
-                    max_niter=20, M=M, precond_refresh=rf))(u0s)
+                # solved=True verification run (ADVICE r1) — the info
+                # carried out of the k=1 chain call (same compiled program)
+                _, info = f(u0s, 1)
                 inner = int(info.stats.inner_iterations)
                 outer = int(info.stats.outer_iterations)
                 if tag == "DST-PCG flagship":
@@ -268,29 +279,33 @@ def main():
         pc = convdiff2d.default_config(nc, c=25.0, dtype=jnp.float64)
         uc0 = convdiff2d.initial_guess(nc, jnp.float64)
 
+        def solve_adi(u_in):
+            return newton_krylov_jit(
+                convdiff2d.residual_scaled, u_in, pc,
+                algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+                residual_df=convdiff2d.residual_scaled_df,
+                M=adi(4), forcing=None, max_niter=15,
+                krylov_kwargs={"restart": 80, "itmax": 600})
+
+        info_shape = jax.eval_shape(
+            solve_adi, jax.ShapeDtypeStruct((nc, nc), jnp.float64))[1]
+        info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
+
         @jax.jit
         def f_adi(u0, k):
-            def body(i, acc):
+            def body(i, carry):
+                acc, _ = carry
                 u_in = u0 + 1e-6 * (i + 1) + 1e-30 * acc
-                u, info = newton_krylov_jit(
-                    convdiff2d.residual_scaled, u_in, pc,
-                    algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
-                    residual_df=convdiff2d.residual_scaled_df,
-                    M=adi(4), forcing=None, max_niter=15,
-                    krylov_kwargs={"restart": 80, "itmax": 600})
-                return acc + jnp.sum(u) + info.stats.inner_iterations
-            return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float64))
+                u, info = solve_adi(u_in)
+                return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
+            return lax.fori_loop(0, k, body,
+                                 (jnp.zeros((), jnp.float64), info0))
 
-        float(f_adi(uc0, 1)); float(f_adi(uc0, 3))
+        float(f_adi(uc0, 1)[0]); float(f_adi(uc0, 3)[0])
         tc1 = min(_wall(f_adi, uc0, 1, r) for r in range(2))
         tc3 = min(_wall(f_adi, uc0, 3, r + 2) for r in range(2))
         ms_adi = max(tc3 - tc1, 0.0) / 2 * 1e3
-        uc, infoc = jax.jit(lambda u0: newton_krylov_jit(
-            convdiff2d.residual_scaled, u0, pc,
-            algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
-            residual_df=convdiff2d.residual_scaled_df,
-            M=adi(4), forcing=None, max_niter=15,
-            krylov_kwargs={"restart": 80, "itmax": 600}))(uc0)
+        _, infoc = f_adi(uc0, 1)
         log(f"convdiff c=25 {nc}x{nc} to 1e-8 [ADI on-device]: "
             f"marginal {ms_adi:.1f} ms/solve, solved={bool(infoc.solved)} "
             f"outer={int(infoc.stats.outer_iterations)} "
