@@ -289,16 +289,27 @@ def multigrid2d(
     cycles: int = 1,
     coarse_sweeps: int = 20,
     min_coarse: int = 8,
+    axis_names=None,
 ) -> Callable:
     """Preconditioner factory: J ↦ (r ↦ V-cycle(s) approximating A⁻¹r).
 
     Fully jittable; invoked at every Newton iteration so the hierarchy
     tracks the current linearization point (src/Ariadne.jl:323-329
     semantics).  Use with ``algo="cg"`` (symmetric cycles) or FGMRES.
+
+    **Sharded use**: pass ``axis_names=(ax0, ax1)`` to run as **block-MG**
+    inside a shard_map body — each device V-cycles its *local* block with
+    zero-Dirichlet walls at shard seams (additive Schwarz, same shape as
+    ``fft_poisson(scope="local")`` and ``precond.adi(axis_names=...)``):
+    ZERO communication per apply; the probe's global color offsets are the
+    only mesh-aware part.  Pays the usual Schwarz iteration-count penalty
+    (tests record it) but keeps the preconditioner that wins single-chip
+    4096² (docs/design.md crossover table) available at any global size —
+    the local hierarchy depth follows the *block* side, so per-device cost
+    is O(block²) regardless of the mesh.
     """
 
-    def factory(J: JacobianOperator):
-        o, d = probe_5point(J)
+    def _build(o, d):
         n = d.shape[0]
         levels_cap = 1
         size = n
@@ -317,5 +328,19 @@ def multigrid2d(
             return e
 
         return apply
+
+    if axis_names is not None:
+        ax0, ax1 = axis_names
+
+        def sharded_factory(J: JacobianOperator):
+            nl, ml = J.u.shape
+            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
+            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            return _build(*probe_5point(J, roff, coff))
+
+        return sharded_factory
+
+    def factory(J: JacobianOperator):
+        return _build(*probe_5point(J))
 
     return factory
