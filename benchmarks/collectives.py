@@ -133,6 +133,12 @@ def config_traceable(name: str, mesh, n: int):
         pass
     elif name == "cg_cheb16":
         kwargs["M"] = chebyshev(degree=16, axis_names=axes)
+    elif name == "cg_block_mg":
+        # zero-communication strong preconditioning: block-MG adds NO
+        # collectives over plain CG — the additive-Schwarz design point
+        from newtonkrylov_tpu.mg import multigrid2d
+
+        kwargs["M"] = multigrid2d(axis_names=axes)
     elif name == "production_dst_df32":
         F_df_local = sharded_residual_df_2d(
             bratu2d.residual_scaled_df_padded, axes, "dirichlet")
@@ -155,7 +161,7 @@ def config_traceable(name: str, mesh, n: int):
     return wrapped, (u0_sh,)
 
 
-CONFIGS = ("cg_plain", "cg_cheb16", "production_dst_df32")
+CONFIGS = ("cg_plain", "cg_cheb16", "cg_block_mg", "production_dst_df32")
 LEVEL_LABELS = {0: "per_solve_setup", 1: "per_newton_outer", 2: "per_krylov_inner"}
 
 

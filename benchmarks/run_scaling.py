@@ -112,7 +112,11 @@ def main():
     # model's amortization terms recomputed from the MEASURED counts.
     coll = run_collectives_child()
     results["measured_collectives"] = coll
-    equiv = {"cg_plain": 1.0, "cg_cheb16": 17.0, "production_dst_df32": 1.0}
+    # matvec-equivalents of local compute per inner: the block-MG V-cycle
+    # costs ~(nu smooth + residual + transfers) x (4/3 levels) ~ 5 stencil
+    # applies of local work
+    equiv = {"cg_plain": 1.0, "cg_cheb16": 17.0, "cg_block_mg": 5.0,
+             "production_dst_df32": 1.0}
     results["model_from_measured"] = [
         dict(config=name, **measured_config_point(
             b, n, coll["configs"][name]["levels"]["per_krylov_inner"],

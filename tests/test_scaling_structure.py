@@ -111,6 +111,9 @@ def test_full_solve_per_inner_collective_counts():
         # + degree x 4 exchange rounds inside the Chebyshev apply,
         # ZERO extra reductions — the communication-avoiding shape
         "cg_cheb16": {"ppermute": 4 + 16 * 4, "psum": 3},
+        # block-MG: strong preconditioning at ZERO added collectives
+        # (each device V-cycles its local block)
+        "cg_block_mg": {"ppermute": 4, "psum": 3},
         # + 4 tiled reduce-scatters per global-DST apply, no all_gather
         "production_dst_df32": {"ppermute": 4, "psum": 3, "psum_scatter": 4},
     }
