@@ -113,3 +113,39 @@ def test_export_roundtrip(tmp_path):
     re = load_exported(path)
     u_aot = re.call(u0)
     np.testing.assert_allclose(np.asarray(u_aot), np.asarray(f(u0)), atol=1e-12)
+
+
+def test_export_roundtrip_production_config(tmp_path):
+    """The PRODUCTION configuration (df32-refined 1e-8 DST flagship —
+    exactly what __graft_entry__.entry certifies) AOT-exports and
+    round-trips: the df32 while-loop refinement, the hoisted bf16x3 DST
+    preconditioner, and the f32 Krylov loop all serialize to StableHLO."""
+    import jax
+
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.problems import bratu2d
+    from newtonkrylov_tpu.utils.serving import export_solver, load_exported, save_exported
+
+    n = 64
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float32)
+
+    def fn(u0):
+        u, info = newton_krylov_jit(
+            bratu2d.residual_scaled, u0, p,
+            algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
+            residual_df=bratu2d.residual_scaled_df,
+            max_niter=20, M=fft_poisson(precision="high"),
+            precond_refresh="once")
+        return u, info.stats.outer_iterations, info.stats.inner_iterations
+
+    f = jax.jit(fn)
+    exp = export_solver(f, (u0,))
+    path = save_exported(exp, str(tmp_path / "prod.bin"))
+    re = load_exported(path)
+    u_aot, outer_aot, inner_aot = re.call(u0)
+    u_live, outer_live, inner_live = f(u0)
+    assert int(outer_aot) == int(outer_live)
+    assert int(inner_aot) == int(inner_live)
+    np.testing.assert_allclose(np.asarray(u_aot), np.asarray(u_live), atol=1e-12)
