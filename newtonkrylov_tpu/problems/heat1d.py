@@ -19,7 +19,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-__all__ = ["Params", "default_config", "rhs", "clamp_bc", "initial_condition", "grid"]
+__all__ = ["Params", "default_config", "rhs", "rhs_df", "clamp_bc",
+           "initial_condition", "grid"]
 
 
 class Params(NamedTuple):
@@ -66,3 +67,22 @@ def rhs(u, p: Params, t=None):
     du = jnp.zeros_like(u)
     interior = p.a * (ub[2:] - 2.0 * ub[1:-1] + ub[:-2]) / (p.dx * p.dx)
     return du.at[1:-1].set(interior)
+
+
+def rhs_df(u, p: Params, t=None):
+    """df32 RHS (``u`` a DF pair): the BC clamp is a pure placement (exact
+    per word), the second difference resolves in exact two-sum chains, and
+    a/Δx² enters as a split constant.  Pair with
+    :func:`~newtonkrylov_tpu.timestep.implicit_euler_df` for 1e-8
+    acceptance marches on TPU (tests/test_df32_problems.py)."""
+    from .. import df32 as dd
+
+    ub = dd.df_map(lambda w: _apply_bc(w, p.bc), u)
+    s = dd.add(dd.df_map(lambda w: w[2:], ub), dd.df_map(lambda w: w[:-2], ub))
+    s = dd.add(s, dd.scale_pow2(dd.df_map(lambda w: w[1:-1], ub), -2.0))
+    interior = dd.scale_const(s, float(p.a) / (float(p.dx) * float(p.dx)))
+
+    def asm(word):
+        return jnp.zeros(u.hi.shape, word.dtype).at[1:-1].set(word)
+
+    return dd.DF(asm(interior.hi), asm(interior.lo))

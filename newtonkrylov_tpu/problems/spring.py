@@ -13,7 +13,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-__all__ = ["Params", "default_config", "rhs", "initial_condition", "exact_solution"]
+__all__ = ["Params", "default_config", "rhs", "rhs_df", "initial_condition",
+           "exact_solution"]
 
 
 class Params(NamedTuple):
@@ -31,6 +32,18 @@ def initial_condition(x0: float = 0.1, v0: float = 0.0, dtype=None):
 def rhs(u, p: Params, t=None):
     """f!(du, u, (γ,), t) (examples/spring.jl:14-18)."""
     return jnp.stack([u[1], -(p.gamma * p.gamma) * u[0]])
+
+
+def rhs_df(u, p: Params, t=None):
+    """df32 RHS (``u`` a DF pair): −γ² enters as a split constant; the
+    component shuffle is a pure placement, exact per word."""
+    from .. import df32 as dd
+
+    ax = dd.scale_const(dd.df_map(lambda w: w[0:1], u),
+                        -float(p.gamma) * float(p.gamma))
+    v = dd.df_map(lambda w: w[1:2], u)
+    return dd.DF(jnp.concatenate([v.hi, ax.hi]),
+                 jnp.concatenate([v.lo, ax.lo]))
 
 
 def exact_solution(t, p: Params, x0: float = 0.1, v0: float = 0.0):

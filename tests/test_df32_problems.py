@@ -278,3 +278,65 @@ def test_heat1d_dg_step_refined_to_1e8():
         krylov_kwargs={"restart": None, "itmax": 200}, max_niter=10)
     assert bool(info_ref.solved)
     assert float(jnp.max(jnp.abs(u1 - u_ref))) < 1e-7
+
+
+def test_heat1d_rhs_df_matches_f64():
+    """1-D heat RHS in double-word arithmetic, both BCs (the BC clamp is a
+    pure placement, exact per word)."""
+    from newtonkrylov_tpu.problems import heat1d
+
+    x = heat1d.grid(100, dtype=jnp.float64)
+    for bc in ("dirichlet", "periodic"):
+        p = heat1d.default_config(100, bc=bc)
+        u = heat1d.clamp_bc(heat1d.initial_condition(x), p) * 0.93 + 0.01
+        want = heat1d.rhs(u, p)
+        got = dd.df_to_f64(heat1d.rhs_df(dd.df_from_f64(u), p))
+        rel = float(jnp.max(jnp.abs(got - want))) / float(jnp.max(jnp.abs(want)))
+        assert rel < 1e-10, (bc, rel)
+
+
+def test_spring_and_simple_df_match_f64():
+    from newtonkrylov_tpu.problems import simple, spring
+
+    ps = spring.default_config()
+    us = jnp.array([0.0731, -0.042], jnp.float64)
+    got = dd.df_to_f64(spring.rhs_df(dd.df_from_f64(us), ps))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(spring.rhs(us, ps)),
+                               atol=1e-14)
+
+    xs = jnp.array([1.7, 0.9], jnp.float64)
+    got = dd.df_to_f64(simple.residual_df(dd.df_from_f64(xs)))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(simple.residual(xs)),
+                               atol=1e-12)
+
+
+def test_simple_refined_to_1e8():
+    """The reference's 2x2 smoke system through the df32 path — every
+    shipped problem now reaches 1e-8 on TPU without emulated f64."""
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.problems import simple
+
+    u, info = newton_krylov_jit(
+        simple.residual, jnp.array([2.0, 0.5], jnp.float64),
+        tol_rel=1e-8, krylov_dtype=jnp.float32,
+        residual_df=simple.residual_df)
+    assert bool(info.solved)
+    assert float(jnp.max(jnp.abs(u - jnp.array([1.0, 1.0])))) < 1e-7
+
+
+def test_heat1d_step_refined_to_1e8():
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.problems import heat1d
+    from newtonkrylov_tpu.timestep import StepParams, implicit_euler, implicit_euler_df
+
+    p = heat1d.default_config(100)
+    x = heat1d.grid(100, dtype=jnp.float64)
+    u0 = heat1d.clamp_bc(heat1d.initial_condition(x), p).astype(jnp.float64)
+    sp = StepParams(un=u0, dt=0.1, p=p, t=0.1)
+    u1, info = newton_krylov_jit(
+        implicit_euler(heat1d.rhs), u0, sp, algo="cg", tol_rel=1e-8,
+        residual_df=implicit_euler_df(heat1d.rhs_df))
+    assert bool(info.solved)
+    u_ref, info_ref = newton_krylov_jit(
+        implicit_euler(heat1d.rhs), u0, sp, algo="cg", tol_rel=1e-10)
+    assert float(jnp.max(jnp.abs(u1 - u_ref))) < 1e-7
