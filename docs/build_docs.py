@@ -44,6 +44,7 @@ PAGES = [
     (DOCS / "api.md", "api", "API map"),
     ("__autodoc__", "reference", "API reference"),
     (DOCS / "design.md", "design", "Design notes"),
+    (DOCS / "preconditioners.md", "preconditioners", "Choosing a preconditioner"),
     (DOCS / "parity.md", "parity", "Reference parity"),
     (DOCS / "walkthrough_heat2d.md", "walkthrough_heat2d", "Heat 2-D walkthrough"),
     (DOCS / "walkthrough_heat1d_dg.md", "walkthrough_heat1d_dg", "Heat 1-D DG walkthrough"),
