@@ -78,10 +78,13 @@ class _OuterCarry(NamedTuple):
     cycle: jnp.ndarray
 
 
-def _orthogonalize(space, V, w, k, m, orth, reorthogonalize):
+def _orthogonalize(space, V, w, k, m, orth, reorthogonalize, ortho_block=None):
     """Orthogonalize w against rows 0..k of V. Returns (w_orth, h[m+1])."""
     rowmask = (jnp.arange(m + 1) <= k)
 
+    if orth == "cgs2" and ortho_block is not None:
+        return _orthogonalize_blocked(space, V, w, k, m, ortho_block,
+                                      reorthogonalize)
     if orth == "cgs2":
         h = space.project_rows(V, w) * rowmask
         w = tree_sub(w, tree_basis_combine(V, h))
@@ -108,6 +111,69 @@ def _orthogonalize(space, V, w, k, m, orth, reorthogonalize):
         raise ValueError(f"unknown orthogonalization {orth!r}")
 
 
+def _pad_rows(m: int, block: int) -> int:
+    """Basis row allocation rounded up to a whole number of blocks."""
+    return -(-(m + 1) // block) * block
+
+
+def _orthogonalize_blocked(space, V, w, k, m, block, reorthogonalize):
+    """CGS2 touching only the ⌈(k+1)/block⌉ basis chunks that hold active
+    rows — the fixed-shape answer to full-basis orthogonalization cost.
+
+    The stacked basis of a non-restarted (or wide-restart) GMRES has a
+    STATIC row count, so the plain CGS2 projection/combination sweeps all
+    ``m+1`` rows through HBM at every iteration even when only ``k+1`` are
+    active (measured: the convdiff ADI lane costs ~1 ms per inner at 256²
+    with itmax=400, almost all of it basis traffic).  Blocking runs a
+    ``fori_loop`` with a *data-dependent* trip count over fixed-size
+    chunks: per-iteration traffic becomes proportional to the active basis
+    size, halving the summed traffic of a full cycle.  The arithmetic is
+    the same CGS2 (identical h up to summation order); rows past k are
+    masked within the active chunks.  Requires ``V`` allocated with
+    :func:`_pad_rows` rows.  NOT used under a ShardedSpace — a per-chunk
+    projection would psum per chunk instead of once per pass (the measured
+    3-psum-per-inner budget, tests/test_scaling_structure.py).
+    """
+    m_pad = jax.tree.leaves(V)[0].shape[0]
+    dtype = space_dtype(V)
+    nch = (k // block) + 1
+    rows = jnp.arange(m_pad)
+    mask_pad = (rows <= k)
+
+    def get_chunk(i):
+        return jax.tree.map(
+            lambda l: lax.dynamic_slice_in_dim(l, i * block, block, 0), V)
+
+    def project(w_):
+        mw = space.mask_tree(w_)
+
+        def body(i, h):
+            from ..tree import tree_project_rows
+
+            hc = tree_project_rows(get_chunk(i), mw)
+            return lax.dynamic_update_slice(h, hc.astype(dtype), (i * block,))
+
+        h = lax.fori_loop(0, nch, body, jnp.zeros(m_pad, dtype))
+        return h * mask_pad
+
+    def combine(h):
+        def body(i, acc):
+            hc = lax.dynamic_slice(h, (i * block,), (block,))
+            part = tree_basis_combine(get_chunk(i), hc)
+            return jax.tree.map(jnp.add, acc, part)
+
+        return lax.fori_loop(0, nch, body, tree_zeros_like(w))
+
+    h = project(w)
+    w = tree_sub(w, combine(h))
+    npasses = 2 if reorthogonalize else 1
+    for _ in range(npasses):
+        h2 = project(w)
+        w = tree_sub(w, combine(h2))
+        h = h + h2
+    return w, h[: m + 1]
+
+
 def space_dtype(V):
     return jax.tree.leaves(V)[0].dtype
 
@@ -126,11 +192,13 @@ def _apply_givens(cs, sn, h, k):
 
 
 def _gmres_cycle(Aop, Mop, Nop, b_unused, x, r, beta, space, m, orth,
-                 reorthogonalize, eps_abs, flexible, breakdown_tol):
+                 reorthogonalize, eps_abs, flexible, breakdown_tol,
+                 ortho_block=None):
     """One restart cycle of (F)GMRES starting from residual r (norm beta)."""
     dtype = jnp.result_type(*[l.dtype for l in jax.tree.leaves(r)])
 
-    V = tree_stack_like(r, m + 1)
+    m_alloc = _pad_rows(m, ortho_block) if ortho_block is not None else m + 1
+    V = tree_stack_like(r, m_alloc)
     Z = tree_stack_like(r, m) if flexible else V  # dummy alias when not flexible
     safe_beta = jnp.where(beta > 0, beta, 1.0)
     V = tree_set_row(V, 0, tree_scale(1.0 / safe_beta, r))
@@ -153,7 +221,8 @@ def _gmres_cycle(Aop, Mop, Nop, b_unused, x, r, beta, space, m, orth,
         if Mop is not None:
             w = Mop(w)
 
-        w, h = _orthogonalize(space, V, w, k, m, orth, reorthogonalize)
+        w, h = _orthogonalize(space, V, w, k, m, orth, reorthogonalize,
+                              ortho_block)
         hk1 = space.norm(w)
 
         h = _apply_givens(cs, sn, h, k)
@@ -213,7 +282,7 @@ def _gmres_cycle(Aop, Mop, Nop, b_unused, x, r, beta, space, m, orth,
     if flexible:
         dx = tree_basis_combine(fin.Z, y)
     else:
-        coeffs = jnp.concatenate([y, jnp.zeros(1, dtype=dtype)])
+        coeffs = jnp.concatenate([y, jnp.zeros(m_alloc - m, dtype=dtype)])
         Vy = tree_basis_combine(fin.V, coeffs)
         dx = Nop(Vy) if Nop is not None else Vy
 
@@ -237,6 +306,7 @@ def gmres(
     reorthogonalize: bool = False,
     flexible: bool = False,
     breakdown_tol: float = 0.0,
+    ortho_block: Optional[int] = None,
 ) -> KrylovResult:
     """Solve A x = b with restarted (F)GMRES.
 
@@ -248,11 +318,29 @@ def gmres(
     ``itmax`` (Krylov.jl's default ``restart=false`` semantics — required on
     ill-conditioned systems where restarted GMRES stagnates; costs
     itmax×state memory up front since XLA needs static shapes).
+
+    ``ortho_block=C`` blocks the CGS2 projection/combination into C-row
+    basis chunks visited by a data-dependent loop, so per-iteration basis
+    traffic tracks the ACTIVE basis size instead of the static allocation —
+    worthwhile for wide bases (``restart=None`` or large restarts; see
+    :func:`_orthogonalize_blocked`).  Single-device spaces only (a sharded
+    space would psum per chunk); requires ``orth="cgs2"``.
     """
     Aop = as_operator(A)
     Mop = as_operator(M) if M is not None else None
     Nop = as_operator(N) if N is not None else None
     space = space or EuclideanSpace()
+    if ortho_block is not None:
+        from ..spaces import ShardedSpace
+
+        if isinstance(space, ShardedSpace):
+            raise ValueError(
+                "ortho_block is single-device only: per-chunk projections "
+                "would issue one psum per chunk instead of one per pass")
+        if orth != "cgs2":
+            raise ValueError("ortho_block requires orth='cgs2'")
+        if ortho_block < 1:
+            raise ValueError("ortho_block must be a positive int")
 
     if x0 is None:
         x0 = tree_zeros_like(b)
@@ -301,7 +389,7 @@ def gmres(
         beta = space.norm(r)
         x_new, k, resnorm, dep = _gmres_cycle(
             Aop, Mop, Nop, b, c.x, r, beta, space, m, orth,
-            reorthogonalize, eps_abs, flexible, breakdown_tol,
+            reorthogonalize, eps_abs, flexible, breakdown_tol, ortho_block,
         )
         converged = resnorm <= eps_abs
         # Serious breakdown (dependent Krylov direction) ends the whole solve:

@@ -205,3 +205,45 @@ def test_gmres_restart_vs_full_parity_pin():
         F, jnp.zeros(n), forcing=Fixed(1e-10), krylov_kwargs={"restart": 20}
     )
     assert int(info_restarted.stats.inner_iterations) > int(full.niter)
+
+
+def test_gmres_ortho_block_matches_unblocked():
+    """Blocked CGS2 (ortho_block) is the same arithmetic chunked: identical
+    iteration counts and solutions vs the full-basis sweep, for full and
+    restarted modes, non-dividing block sizes, and masked spaces."""
+    import numpy as np
+
+    from newtonkrylov_tpu.spaces import MaskedSpace
+
+    rng = np.random.default_rng(0)
+    n = 120
+    A = np.diag(3.0 + rng.random(n)) + 0.3 * rng.standard_normal((n, n))
+    x_true = rng.standard_normal(n)
+    b = jnp.asarray(A @ x_true)
+    Aj = jnp.asarray(A)
+
+    for restart, block in ((None, 16), (40, 16), (None, 7)):
+        r_ref = gmres(lambda v: Aj @ v, b, restart=restart, itmax=200, rtol=1e-12)
+        r_blk = gmres(lambda v: Aj @ v, b, restart=restart, itmax=200,
+                      rtol=1e-12, ortho_block=block)
+        assert bool(r_blk.converged)
+        assert int(r_ref.niter) == int(r_blk.niter), (restart, block)
+        np.testing.assert_allclose(np.asarray(r_blk.x), x_true, atol=1e-7)
+
+    mask = jnp.ones(n).at[:3].set(0.0)
+    sp = MaskedSpace(mask=mask)
+    bm = b * mask
+    op = lambda v: mask * (Aj @ (mask * v))  # noqa: E731
+    r1 = gmres(op, bm, restart=None, itmax=200, rtol=1e-10, space=sp)
+    r2 = gmres(op, bm, restart=None, itmax=200, rtol=1e-10, space=sp,
+               ortho_block=16)
+    assert int(r1.niter) == int(r2.niter)
+    np.testing.assert_allclose(np.asarray(r1.x), np.asarray(r2.x), atol=1e-12)
+
+
+def test_gmres_ortho_block_rejects_sharded_space():
+    from newtonkrylov_tpu.spaces import ShardedSpace
+
+    with pytest.raises(ValueError, match="single-device"):
+        gmres(lambda v: v, jnp.ones(8), space=ShardedSpace(("i",)),
+              ortho_block=4)
