@@ -28,7 +28,10 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
 
 * **Flagship, any convection strength (incl. c = 25) — on-device ADI**:
   ``newton_krylov_jit`` + ``algo="gmres"``, ``M=precond.adi(sweeps=4)``,
-  ``krylov_kwargs={"restart": None, "itmax": ...}``.  The alternating-
+  ``krylov_kwargs={"restart": None, "itmax": ..., "ortho_block": 32}``
+  (ADI also tolerates ``restart=80``, the bench lane's cheaper recipe —
+  counts 334 vs 290 full-space at n = 256; ``ortho_block`` makes the
+  full-space basis sweep track the active size, ~3× on TPU).  The alternating-
   direction preconditioner solves each direction's transport *exactly along
   lines* (batched Thomas solves on the probed nonsymmetric stencil,
   precond.py), so it is immune to the convection strength that breaks the
