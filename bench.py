@@ -219,11 +219,11 @@ def main():
     # rounds, which cost ~nothing here); sharded it is the large-pod
     # choice.  MEASURED on the 8-device mesh (SCALING_r04.json
     # "measured_collectives", benchmarks/collectives.py): Cheb(16) cuts
-    # psum reduction rounds per solve 7x (580 -> 82) for ~1.9x more
+    # psum reduction rounds per solve ~6.4x (393 -> 61) for ~1.9x more
     # stencil work (187 -> 357 matvec-equivalents) — the trade that wins
     # once psum tree latency rivals the local stencil time (the
     # few-to-mid-chip production path is the sharded-exact global DST,
-    # fftprec scope="global": 4 psum_scatters + 3 psums per inner,
+    # fftprec scope="global": 4 psum_scatters + 2 psums per inner,
     # 5 inners total at the dryrun shape).
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
              ("MG-PCG", multigrid2d(), "outer", (1024, 2048, 4096)),

@@ -91,9 +91,14 @@ def cg(
         alpha = c.rz / safe
         x = tree_axpy(alpha, c.p, c.x)
         r = tree_axpy(-alpha, Ap, c.r)
-        resnorm = space.norm(r)
         z = precond(r)
-        rz_new = space.dot(r, z)
+        # ‖r‖² and <r, z> are independent post-update reductions: fuse them
+        # into ONE (2,)-psum round (space.dot2) — CG drops from 3 to 2
+        # latency-bound reduction rounds per iteration on a mesh
+        # (SCALING_r04 measured-collectives; the third is pAp, which the
+        # alpha dependency keeps on its own round).
+        rr, rz_new = space.dot2(r, r, r, z)
+        resnorm = jnp.sqrt(rr)
         safe_rz = jnp.where(c.rz != 0, c.rz, 1.0)
         beta = rz_new / safe_rz
         p = tree_axpy(beta, c.p, z)

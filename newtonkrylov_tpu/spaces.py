@@ -44,6 +44,17 @@ class VectorSpace:
         """<V[j], w> for all rows j of a stacked basis → (m,) vector."""
         raise NotImplementedError
 
+    def dot2(self, x1, y1, x2, y2):
+        """(<x1,y1>, <x2,y2>) as one (2,)-reduction.
+
+        Two *independent* inner products fused into a single reduction
+        round: under sharding the stacked pair rides ONE psum (a (2,)
+        allreduce has the same tree latency as a scalar one), so a solver
+        that needs both — e.g. CG's post-update ``‖r‖`` and ``<r, z>`` —
+        pays one latency instead of two.  Default: two dots, stacked.
+        """
+        return jnp.stack([self.dot(x1, y1), self.dot(x2, y2)])
+
     def mask_tree(self, x):
         """Zero out entries that do not belong to the space (ghost cells)."""
         return x
@@ -115,6 +126,11 @@ class ShardedSpace(VectorSpace):
 
     def project_rows(self, V, w):
         return jax.lax.psum(self._local().project_rows(V, w), tuple(self.axis_names))
+
+    def dot2(self, x1, y1, x2, y2):
+        loc = self._local()
+        pair = jnp.stack([loc.dot(x1, y1), loc.dot(x2, y2)])
+        return jax.lax.psum(pair, tuple(self.axis_names))
 
     def mask_tree(self, x):
         return self._local().mask_tree(x)

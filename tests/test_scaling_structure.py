@@ -106,16 +106,17 @@ def test_full_solve_per_inner_collective_counts():
 
     mesh = make_mesh((4, 2), ("i", "j"))
     expected = {
-        # matvec exchange = 4 ppermutes; CG = 3 psums (dots + norm)
-        "cg_plain": {"ppermute": 4, "psum": 3},
+        # matvec exchange = 4 ppermutes; CG = 2 psums (pAp, then the
+        # fused post-update (||r||^2, <r,z>) pair via space.dot2)
+        "cg_plain": {"ppermute": 4, "psum": 2},
         # + degree x 4 exchange rounds inside the Chebyshev apply,
         # ZERO extra reductions — the communication-avoiding shape
-        "cg_cheb16": {"ppermute": 4 + 16 * 4, "psum": 3},
+        "cg_cheb16": {"ppermute": 4 + 16 * 4, "psum": 2},
         # block-MG: strong preconditioning at ZERO added collectives
         # (each device V-cycles its local block)
-        "cg_block_mg": {"ppermute": 4, "psum": 3},
+        "cg_block_mg": {"ppermute": 4, "psum": 2},
         # + 4 tiled reduce-scatters per global-DST apply, no all_gather
-        "production_dst_df32": {"ppermute": 4, "psum": 3, "psum_scatter": 4},
+        "production_dst_df32": {"ppermute": 4, "psum": 2, "psum_scatter": 4},
     }
     for name, want in expected.items():
         fn, args = config_traceable(name, mesh, 32)
