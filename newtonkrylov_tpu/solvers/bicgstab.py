@@ -90,8 +90,10 @@ def bicgstab(
         alpha = rho_new / safe(space.dot(rhat, v))
         s = tree_axpy(-alpha, v, c.r)
         t = Aop(s)
-        tt = space.dot(t, t)
-        omega = space.dot(t, s) / safe(tt)
+        # <t,t> and <t,s> are independent once t exists: one fused
+        # (2,)-psum round instead of two (space.dot2; cf. cg.py)
+        tt, ts = space.dot2(t, t, t, s)
+        omega = ts / safe(tt)
         x = tree_axpy(omega, s, tree_axpy(alpha, p, c.x))
         r = tree_axpy(-omega, t, s)
         resnorm = space.norm(r)
@@ -169,10 +171,11 @@ def cgls(
         x = tree_axpy(alpha, c.p, c.x)
         r = tree_axpy(-alpha, q, c.r)
         s = At(r)
-        gamma_new = space.dot(s, s)
+        # <s,s> and ||r||^2 are independent once s exists: one fused round
+        gamma_new, rr = space.dot2(s, s, r, r)
         beta = gamma_new / safe(c.gamma)
         p = tree_axpy(beta, c.p, s)
-        resnorm = space.norm(r)
+        resnorm = jnp.sqrt(rr.real)
         return _LCarry(x, r, s, p, gamma_new, resnorm, c.k + 1, resnorm <= eps_abs)
 
     init = _LCarry(x0, r0, s0, s0, gamma0, beta0, jnp.zeros((), jnp.int32), beta0 <= eps_abs)

@@ -98,7 +98,7 @@ def cg(
         # (SCALING_r04 measured-collectives; the third is pAp, which the
         # alpha dependency keeps on its own round).
         rr, rz_new = space.dot2(r, r, r, z)
-        resnorm = jnp.sqrt(rr)
+        resnorm = jnp.sqrt(rr.real)
         safe_rz = jnp.where(c.rz != 0, c.rz, 1.0)
         beta = rz_new / safe_rz
         p = tree_axpy(beta, c.p, z)
