@@ -247,3 +247,26 @@ def test_gmres_ortho_block_rejects_sharded_space():
     with pytest.raises(ValueError, match="single-device"):
         gmres(lambda v: v, jnp.ones(8), space=ShardedSpace(("i",)),
               ortho_block=4)
+
+
+def test_fgmres_ortho_block_matches_unblocked():
+    """FGMRES (flexible Z storage) composes with blocked CGS2 — Z rows are
+    untouched by the blocking; counts and solutions match."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    n = 80
+    A = np.diag(3.0 + rng.random(n)) + 0.25 * rng.standard_normal((n, n))
+    x_true = rng.standard_normal(n)
+    b = jnp.asarray(A @ x_true)
+    Aj = jnp.asarray(A)
+    D = jnp.asarray(1.0 / np.diag(A))
+    Nop = lambda v: D * v  # noqa: E731
+
+    r_ref = fgmres(lambda v: Aj @ v, b, N=Nop, restart=None, itmax=120,
+                   rtol=1e-12)
+    r_blk = fgmres(lambda v: Aj @ v, b, N=Nop, restart=None, itmax=120,
+                   rtol=1e-12, ortho_block=16)
+    assert bool(r_blk.converged)
+    assert int(r_ref.niter) == int(r_blk.niter)
+    np.testing.assert_allclose(np.asarray(r_blk.x), x_true, atol=1e-7)
