@@ -86,7 +86,8 @@ def collective_counts_by_level(traceable, *args) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# The three sharded configurations of VERDICT r3 next #2.
+# The sharded configurations: VERDICT r3 next #2's three, plus block-MG
+# (round 4's zero-added-communication middle ground).
 # ---------------------------------------------------------------------------
 
 def _bratu_setup(n):
