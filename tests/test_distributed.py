@@ -104,3 +104,109 @@ def test_two_process_distributed_matvec():
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {pid} failed:\n{out}"
         assert f"CHILD_OK {pid}" in out, out
+
+
+_CHILD_SOLVE = r"""
+import sys
+import numpy as np
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from newtonkrylov_tpu.utils import distributed
+
+coord, pid = sys.argv[1], int(sys.argv[2])
+ok = distributed.initialize(coordinator_address=coord, num_processes=2, process_id=pid)
+assert ok and jax.process_count() == 2 and jax.device_count() == 4
+
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from newtonkrylov_tpu.fftprec import fft_poisson
+from newtonkrylov_tpu.halo import (
+    _info_structure, sharded_residual_2d, sharded_residual_df_2d,
+)
+from newtonkrylov_tpu.newton import newton_krylov_jit
+from newtonkrylov_tpu.problems import bratu2d
+from newtonkrylov_tpu.spaces import ShardedSpace
+
+n = 16
+p = bratu2d.default_config(n, lam=4.0)
+u0_host = np.zeros((n, n), np.float32)
+
+mesh = jax.make_mesh((2, 2), ("i", "j"))
+spec = P("i", "j")
+u0 = jax.make_array_from_callback(
+    (n, n), NamedSharding(mesh, spec), lambda idx: u0_host[idx])
+
+def padded_residual(up, pp):
+    u = up[1:-1, 1:-1]
+    st = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2] - 4.0 * u
+    return st + (pp.dx * pp.dx) * pp.lam * jnp.exp(u)
+
+F_local = sharded_residual_2d(padded_residual, ("i", "j"), "dirichlet")
+F_df_local = sharded_residual_df_2d(
+    bratu2d.residual_scaled_df_padded, ("i", "j"), "dirichlet")
+space = ShardedSpace(("i", "j"))
+
+# The PRODUCTION config (the multichip dryrun's shape): f32 Krylov loop,
+# globally-exact DST preconditioner (distributed sine matmuls +
+# psum_scatter), df32 acceptance residual — now with shards in two
+# DIFFERENT OS processes.
+def local_solve(u0_local):
+    return newton_krylov_jit(
+        F_local, u0_local, p, algo="cg", tol_rel=1e-6, max_niter=10,
+        M=fft_poisson(axis_names=("i", "j"), scope="global", precision="high"),
+        precond_refresh="once", residual_df=F_df_local, space=space)
+
+info_specs = jax.tree.map(lambda _: P(), _info_structure())
+wrapped = jax.jit(jax.shard_map(
+    local_solve, mesh=mesh, in_specs=(spec,), out_specs=(spec, info_specs),
+    check_vma=False))
+u, info = wrapped(u0)
+assert bool(jax.device_get(info.solved)), "cross-process production solve failed"
+outer = int(jax.device_get(info.stats.outer_iterations))
+inner = int(jax.device_get(info.stats.inner_iterations))
+
+# single-process oracle (identical on both processes; single-device jit)
+u_ref, info_ref = newton_krylov_jit(
+    bratu2d.residual_scaled, jnp.zeros((n, n), jnp.float32), p,
+    algo="cg", tol_rel=1e-6, max_niter=10,
+    M=fft_poisson(precision="high"), precond_refresh="once",
+    residual_df=bratu2d.residual_scaled_df)
+assert outer == int(info_ref.stats.outer_iterations), (outer,)
+assert inner == int(info_ref.stats.inner_iterations), (inner,)
+for shard in u.addressable_shards:
+    np.testing.assert_allclose(
+        np.asarray(shard.data), np.asarray(u_ref)[shard.index], atol=2e-6)
+
+print(f"CHILD_OK {pid} outer={outer} inner={inner}")
+"""
+
+
+def test_two_process_production_solve():
+    """The PRODUCTION sharded configuration (globally-exact DST via
+    distributed sine matmuls + psum_scatter, f32 Krylov, df32 acceptance)
+    solved with shards in two different OS PROCESSES — iteration counts
+    and solution must match the single-process flagship exactly."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2 --xla_cpu_enable_fast_math=false"
+    env.pop("JAX_NUM_PROCESSES", None)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _CHILD_SOLVE, coord, str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            cwd=REPO, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {pid} failed:\n{out}"
+        assert f"CHILD_OK {pid}" in out, out
