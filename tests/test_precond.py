@@ -187,3 +187,46 @@ def test_ilu0_csr_pattern_at_reference_scale():
     assert float(err) < 5e-6
     # tridiagonal ILU(0) is the exact LU → Newton takes 1 inner iter per outer
     assert info.stats.inner_iterations <= 2 * info.stats.outer_iterations
+
+
+def test_probe_and_adi_on_rectangular_grid():
+    """Rectangular (n != m) variable-coefficient operator: the mod-3 probe
+    stays exact and ADI converges (19 vs 70 plain-GMRES iters measured)."""
+    import numpy as np
+
+    from newtonkrylov_tpu.mg import probe_5point_general
+    from newtonkrylov_tpu.operator import materialize_dense
+    from newtonkrylov_tpu.solvers import gmres as _gmres
+
+    rng = np.random.default_rng(9)
+    n, m = 12, 20
+    c = {k: jnp.asarray(rng.uniform(0.8, 1.2, (n, m)))
+         for k in ("ip", "im", "jp", "jm")}
+    w = jnp.asarray(rng.uniform(3.5, 4.5, (n, m)))
+
+    def F(u, p=None):
+        up = jnp.pad(u, 1)
+        return (c["ip"] * up[2:, 1:-1] + c["im"] * up[:-2, 1:-1]
+                + c["jp"] * up[1:-1, 2:] + c["jm"] * up[1:-1, :-2] - w * u)
+
+    J = JacobianOperator(F, jnp.zeros((n, m)), None)
+    a0, aip, aim, ajp, ajm = probe_5point_general(J)
+    D = np.asarray(materialize_dense(J)).reshape(n, m, n, m)
+
+    def coef(di, dj):
+        out = np.zeros((n, m))
+        for i in range(n):
+            for j in range(m):
+                ii, jj = i + di, j + dj
+                if 0 <= ii < n and 0 <= jj < m:
+                    out[i, j] = D[i, j, ii, jj]
+        return out
+
+    for got, off in [(a0, (0, 0)), (aip, (1, 0)), (aim, (-1, 0)),
+                     (ajp, (0, 1)), (ajm, (0, -1))]:
+        np.testing.assert_allclose(np.asarray(got), coef(*off), atol=1e-13)
+
+    b = jnp.asarray(rng.standard_normal((n, m)))
+    res = _gmres(J.mv, b, restart=None, itmax=200, rtol=1e-10, M=precond.adi(4)(J))
+    assert bool(res.converged)
+    assert int(res.niter) <= 30  # measured 19
