@@ -3,8 +3,10 @@
 The reference's preconditioning contract (src/Ariadne.jl:323-329): ``M``/``N``
 are *factories* invoked with the current JacobianOperator at every outer
 iteration, so the preconditioner always tracks the linearization point.  Its
-two showcased recipes are rebuilt here TPU-natively, plus two structured ones
-the TPU design makes cheap:
+two showcased recipes are rebuilt here TPU-natively, plus the structured
+family the TPU design makes cheap (the measured decision guide is
+``docs/preconditioners.md``; ``fftprec``/``mg`` hold the DST and multigrid
+factories):
 
 * :func:`nested_krylov` — truncated inner GMRES on the same matrix-free
   operator, used under FGMRES (``GmresPreconditioner``,
@@ -15,6 +17,18 @@ the TPU design makes cheap:
   ``lax.scan``) on the banded materialization: for 1-D stencil Jacobians this
   *is* ``ilu(collect(J))`` taken to completion (examples/bratu.jl:121-128),
   at O(bandwidth) probe cost.  Jittable.
+* :func:`chebyshev` — fixed polynomial in the operator; the apply is
+  ``degree`` reduction-free matvecs (one fused VMEM Pallas launch on TPU;
+  sharded: the communication-avoiding choice).  Jittable.
+* :func:`two_grid` — Chebyshev smoothing + half-resolution exact DST
+  coarse solve, transfers as MXU matmuls.  Jittable.
+* :func:`adi` — Peaceman–Rachford alternating line relaxation on the
+  probed *variable-coefficient* stencil: the on-device preconditioner for
+  NONSYMMETRIC/convection-dominated operators (tridiagonal engines:
+  :func:`thomas_solve` on CPU, :func:`pcr_solve` on TPU; block-ADI under
+  shard_map via ``axis_names``).  Jittable.
+* :func:`banded_lu` — pivoted banded LU (host LAPACK via pure_callback):
+  the robust recipe where zero-diagonal BC rows break ILU(0).
 * :func:`ilu0` — general host-side ILU(0) on the materialized sparse
   Jacobian (C++ kernel, NumPy fallback) — the literal analogue of the
   reference's ``N = (J) -> ilu(collect(J))`` recipe

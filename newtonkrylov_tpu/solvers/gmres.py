@@ -42,6 +42,7 @@ from ..spaces import EuclideanSpace, VectorSpace
 from ..tree import (
     tree_axpy,
     tree_basis_combine,
+    tree_project_rows,
     tree_get_row,
     tree_scale,
     tree_set_row,
@@ -132,7 +133,7 @@ def _orthogonalize_blocked(space, V, w, k, m, block, reorthogonalize):
     masked within the active chunks.  Requires ``V`` allocated with
     :func:`_pad_rows` rows.  NOT used under a ShardedSpace — a per-chunk
     projection would psum per chunk instead of once per pass (the measured
-    3-psum-per-inner budget, tests/test_scaling_structure.py).
+    per-inner psum budget, tests/test_scaling_structure.py).
     """
     m_pad = jax.tree.leaves(V)[0].shape[0]
     dtype = space_dtype(V)
@@ -148,8 +149,6 @@ def _orthogonalize_blocked(space, V, w, k, m, block, reorthogonalize):
         mw = space.mask_tree(w_)
 
         def body(i, h):
-            from ..tree import tree_project_rows
-
             hc = tree_project_rows(get_chunk(i), mw)
             return lax.dynamic_update_slice(h, hc.astype(dtype), (i * block,))
 
