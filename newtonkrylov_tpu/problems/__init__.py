@@ -17,12 +17,16 @@ module              reference example
 ``spring``          examples/spring.jl (harmonic oscillator)
 ``convdiff2d``      beyond reference: nonsymmetric convection–diffusion
                     (the GMRES-required regime; manufactured exact root)
+``nldiff2d``        beyond reference: quasilinear diffusion ∇·(D(u)∇u)
+                    (variable coefficients in every Jacobian stencil slot
+                    — the probe_5point_general/ADI showcase)
 ==================  =====================================================
 """
 
-from . import bratu1d, bratu2d, bvp, convdiff2d, heat1d, heat1d_dg, heat2d, simple, spring
+from . import (bratu1d, bratu2d, bvp, convdiff2d, heat1d, heat1d_dg,
+               heat2d, nldiff2d, simple, spring)
 
 __all__ = [
     "simple", "bratu1d", "bratu2d", "bvp", "heat1d", "heat2d", "heat1d_dg",
-    "spring", "convdiff2d",
+    "spring", "convdiff2d", "nldiff2d",
 ]
