@@ -53,6 +53,7 @@ __all__ = [
     "Params",
     "default_config",
     "residual_scaled",
+    "residual_scaled_padded",
     "residual_scaled_df",
     "initial_guess",
     "manufactured_solution",
@@ -116,7 +117,16 @@ def initial_guess(n: int = N_DEFAULT, dtype=None):
 
 def residual_scaled(u, p: Params):
     """Δx²-scaled residual L_h(u) + b; root at the manufactured u*."""
-    return _operator_scaled(pad_dirichlet(u)) + p.b.astype(u.dtype)
+    return residual_scaled_padded(pad_dirichlet(u), p)
+
+
+def residual_scaled_padded(up, p: Params):
+    """Residual core on a pre-padded block (ghosts from ``pad_dirichlet``
+    on one device or halo exchange in the sharded path — the operator
+    reads exactly one ghost ring, and D is evaluated pointwise on the
+    padded state, so exchanged real-neighbor values reproduce the global
+    flux coefficients at shard seams exactly)."""
+    return _operator_scaled(up) + p.b.astype(up.dtype)
 
 
 def residual_scaled_df(u, p: Params):
