@@ -18,6 +18,7 @@ Public API parity: the reference exports exactly ``newton_krylov`` and
 """
 
 from . import df32, fftprec, mg, precond, problems, timestep
+from .continuation import pseudo_transient
 from .implicit import make_implicit_solver
 from .forcing import EisenstatWalker, Fixed, Forcing
 from .newton import NewtonInfo, Stats, newton_krylov, newton_krylov_jit
@@ -57,6 +58,7 @@ __all__ = [
     "ShardedSpace",
     "integrate",
     "integrate_scan",
+    "pseudo_transient",
     "df32",
     "fftprec",
     "make_implicit_solver",

@@ -36,6 +36,7 @@ from .tree import tree_size, tree_zeros_like
 __all__ = [
     "JacobianOperator",
     "AdjointOperator",
+    "ShiftedOperator",
     "materialize_dense",
     "materialize_banded",
     "materialize_csr",
@@ -122,6 +123,80 @@ class JacobianOperator(LinearOperator):
         TPU-native replacement for ``collect(J)`` (src/Ariadne.jl:140-162) for
         small systems: one batched sweep via mm over all N basis vectors.
         """
+        return materialize_dense(self)
+
+
+class ShiftedOperator(LinearOperator):
+    """αI + J as a first-class operator (square operators only).
+
+    The building block of pseudo-transient continuation
+    (:func:`newtonkrylov_tpu.continuation.pseudo_transient`): each PTC step
+    solves ``(δ⁻¹ I + J) d = F(u)``, i.e. a backward-Euler pseudo-time step
+    toward the steady state ``F(u) = 0``.  The reference has no
+    globalization at all (fixed s=1 is its explicit TODO,
+    src/Ariadne.jl:341-344); this is the standard JFNK answer from the
+    reference's own citation base (Kelley 2003, ``ptcsol``).
+
+    Exposes the wrapped operator's ``u``/``res``/``F``/``p`` so
+    preconditioner factories compose transparently: factories that probe the
+    operator (fft_poisson, adi, jacobi) see the shifted diagonal
+    automatically, because they probe through :meth:`mv`.
+    """
+
+    def __init__(self, J, alpha):
+        self.J = J
+        self.alpha = alpha
+
+    # factory pass-throughs ---------------------------------------------------
+    @property
+    def u(self):
+        return self.J.u
+
+    @property
+    def res(self):
+        return self.J.res
+
+    @property
+    def F(self):
+        return self.J.F
+
+    @property
+    def p(self):
+        return self.J.p
+
+    def mv(self, v):
+        return jax.tree.map(
+            lambda jv, l: jv + self.alpha.astype(l.dtype) * l, self.J.mv(v), v
+        )
+
+    def mm(self, V):
+        return jax.vmap(self.mv)(V)
+
+    def rmv(self, w):
+        return jax.tree.map(
+            lambda jw, l: jw + self.alpha.astype(l.dtype) * l, self.J.rmv(w), w
+        )
+
+    def rmm(self, W):
+        return jax.vmap(self.rmv)(W)
+
+    @property
+    def T(self):
+        return AdjointOperator(self)
+
+    @property
+    def shape(self):
+        return self.J.shape
+
+    @property
+    def dtype(self):
+        return self.J.dtype
+
+    @property
+    def example_in(self):
+        return self.J.u
+
+    def materialize(self):
         return materialize_dense(self)
 
 

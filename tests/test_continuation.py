@@ -1,0 +1,139 @@
+"""Pseudo-transient continuation (Ψtc) tests.
+
+Globalization beyond the reference (its line search is an explicit TODO,
+src/Ariadne.jl:341-344), from the reference's own citation base (Kelley 2003,
+``ptcsol``; Kelley & Keyes SINUM 1998).  Three tiers: the ShiftedOperator
+building block against a dense oracle, Newton-regime equivalence (δ → ∞), and
+the canonical globalization witness — arctan from outside Newton's basin.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from newtonkrylov_tpu import (
+    Fixed,
+    JacobianOperator,
+    newton_krylov_jit,
+    pseudo_transient,
+)
+from newtonkrylov_tpu.operator import ShiftedOperator
+
+
+def F_kelley(x, p):
+    return jnp.array([
+        x[0] ** 2 + x[1] ** 2 - 2.0,
+        jnp.exp(x[0] - 1.0) + x[1] ** 2 - 2.0,
+    ])
+
+
+# ---------------------------------------------------------------------------
+# ShiftedOperator
+# ---------------------------------------------------------------------------
+
+
+def test_shifted_operator_dense_oracle():
+    x = jnp.array([3.0, 5.0])
+    J = JacobianOperator(F_kelley, x)
+    alpha = jnp.asarray(0.7)
+    A = ShiftedOperator(J, alpha)
+    J_dense = J.materialize()
+    A_dense = A.materialize()
+    np.testing.assert_allclose(A_dense, J_dense + 0.7 * np.eye(2), rtol=1e-14)
+    # adjoint: (alpha I + J)^T = alpha I + J^T
+    v = jnp.array([0.3, -1.2])
+    np.testing.assert_allclose(A.rmv(v), A_dense.T @ v, rtol=1e-13)
+    np.testing.assert_allclose(A.T.mv(v), A_dense.T @ v, rtol=1e-13)
+    # batched paths
+    V = jnp.array([[1.0, 0.0], [0.0, 1.0], [2.0, -3.0]])
+    np.testing.assert_allclose(A.mm(V), V @ A_dense.T, rtol=1e-13)
+    np.testing.assert_allclose(A.rmm(V), V @ A_dense, rtol=1e-13)
+
+
+def test_shifted_operator_passthrough():
+    x = jnp.array([3.0, 5.0])
+    J = JacobianOperator(F_kelley, x)
+    A = ShiftedOperator(J, jnp.asarray(2.0))
+    # factories read .u / .res off the operator they are handed
+    np.testing.assert_array_equal(A.u, J.u)
+    np.testing.assert_array_equal(A.res, J.res)
+    assert A.shape == J.shape
+
+
+# ---------------------------------------------------------------------------
+# Newton-regime equivalence: huge δ0 ⇒ the shift is negligible ⇒ Ψtc steps
+# are inexact Newton steps with identical iteration counts.
+# ---------------------------------------------------------------------------
+
+
+def test_ptc_newton_regime_matches_newton():
+    u0 = jnp.array([2.0, 0.5])
+    forcing = Fixed(1.0e-4)
+    u_n, info_n = newton_krylov_jit(F_kelley, u0, forcing=forcing)
+    u_p, info_p = pseudo_transient(
+        F_kelley, u0, delta0=1.0e14, delta_max=1.0e14, forcing=forcing
+    )
+    assert info_p.solved
+    assert int(info_p.stats.outer_iterations) == int(info_n.stats.outer_iterations)
+    assert int(info_p.stats.inner_iterations) == int(info_n.stats.inner_iterations)
+    np.testing.assert_allclose(u_p, u_n, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Globalization: arctan from |x0| > ~1.39 — plain Newton provably diverges
+# (the Newton step overshoots with growing amplitude), Ψtc converges.
+# ---------------------------------------------------------------------------
+
+
+def F_atan(x, p):
+    return jnp.arctan(x)
+
+
+def test_newton_diverges_on_atan():
+    u, info = newton_krylov_jit(F_atan, jnp.array([3.0]), max_niter=20)
+    assert not bool(info.solved)
+    # the iterates blow up (|x| squares each step once |x| is large)
+    assert float(jnp.abs(u[0])) > 1.0e3
+
+
+def test_ptc_converges_on_atan():
+    u, info = pseudo_transient(F_atan, jnp.array([3.0]))
+    assert bool(info.solved)
+    assert abs(float(u[0])) < 1.0e-5
+    assert int(info.stats.outer_iterations) <= 10
+
+
+def test_ptc_converges_from_far_away():
+    u, info = pseudo_transient(F_atan, jnp.array([100.0]))
+    assert bool(info.solved)
+    assert abs(float(u[0])) < 1.0e-5
+
+
+def test_ptc_history_monotone_tail():
+    # once in the Newton regime the trace decreases strictly
+    _, info = pseudo_transient(F_atan, jnp.array([3.0]))
+    h = np.asarray(info.history)
+    h = h[np.isfinite(h)]
+    assert h[-1] < h[0]
+    assert np.all(np.diff(h[-3:]) < 0)
+
+
+def test_ptc_jits_and_vmaps():
+    solve = jax.jit(lambda x0: pseudo_transient(F_atan, x0)[0])
+    u = solve(jnp.array([3.0]))
+    assert abs(float(u[0])) < 1.0e-5
+    # a batch of independent Ψtc solves as one SPMD program
+    batch = jax.vmap(lambda x0: pseudo_transient(F_atan, x0)[1].solved)(
+        jnp.array([[2.0], [5.0], [-4.0]])
+    )
+    assert bool(jnp.all(batch))
+
+
+def test_ptc_krylov_dtype_refinement():
+    # f32 inner loop, f64 state — the mixed-precision seam of the Newton
+    # drivers carried over
+    u, info = pseudo_transient(
+        F_atan, jnp.array([3.0]), krylov_dtype=jnp.float32, tol_rel=1e-10
+    )
+    assert bool(info.solved)
+    assert abs(float(u[0])) < 1.0e-8
