@@ -56,6 +56,7 @@ AUTODOC_MODULES = [
     "newtonkrylov_tpu",
     "newtonkrylov_tpu.operator",
     "newtonkrylov_tpu.newton",
+    "newtonkrylov_tpu.continuation",
     "newtonkrylov_tpu.forcing",
     "newtonkrylov_tpu.solvers",
     "newtonkrylov_tpu.solvers.gmres",

@@ -91,6 +91,24 @@ def pseudo_transient(
     semantics match the Newton drivers exactly:
     ``tol = tol_rel·‖F(u₀)‖ + tol_abs``.
 
+    Two usage facts that do not exist for plain Newton (both are inherent to
+    Ψtc, cf. Kelley & Keyes' stability hypothesis, not quirks of this
+    implementation):
+
+    * **Sign convention.**  Ψtc follows the flow ``du/dτ = −F(u)`` and
+      converges to steady states that are *stable* for that flow.  Newton is
+      sign-blind; Ψtc is not.  For the Bratu residual written as
+      ``Δu + λeᵘ`` the stable heat flow is ``du/dτ = Δu + λeᵘ``, so pass
+      ``−residual`` (tests/test_continuation.py pins both the convergent
+      sign and the stall of the wrong one).  Starts in the flow's blow-up
+      basin (e.g. Bratu data above the unstable branch) genuinely blow up —
+      the NaN/Inf abort reports ``solved=False``, matching the reference's
+      blow-up semantics (src/Ariadne.jl:353-356).
+    * **δ₀ matches the residual's time unit.**  A dx²-scaled PDE residual
+      evolves in dx²-scaled pseudo-time: take ``delta0 ≈ 1/dx²`` (5 outer
+      steps on 2-D Bratu 32² at λ=6; δ₀=1 needs ~10³ because SER grows δ
+      only as fast as the residual falls).
+
     Parameters mirror :func:`~newtonkrylov_tpu.newton.newton_krylov_jit`
     where shared; PTC-specific:
 

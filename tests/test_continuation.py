@@ -129,6 +129,61 @@ def test_ptc_jits_and_vmaps():
     assert bool(jnp.all(batch))
 
 
+# ---------------------------------------------------------------------------
+# PDE scale: 2-D Bratu near the fold.  Ψtc follows du/dτ = −F, so F must be
+# written with the stable-flow sign (−Δu − λeᵘ: the heat flow decays to the
+# lower branch); δ0 ~ 1/dx² matches the dx²-scaled residual's pseudo-time
+# unit.  From rough large-amplitude starts near the fold, Ψtc needs fewer
+# outer steps than plain Newton — and it composes with the DST
+# preconditioner factory inside the loop (the factory probes the *shifted*
+# operator).
+# ---------------------------------------------------------------------------
+
+
+def test_ptc_bratu2d_near_fold():
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 32
+    p = bratu2d.default_config(n, lam=6.8)  # fold at λ* ≈ 6.808
+    X, Y = bratu2d.grid(n)
+    u_rough = 2.5 * jnp.sin(jnp.pi * X) * jnp.sin(jnp.pi * Y)
+
+    def negF(u, p):
+        return -bratu2d.residual_scaled(u, p)
+
+    u_n, info_n = newton_krylov_jit(
+        bratu2d.residual_scaled, u_rough, p,
+        algo="gmres", tol_rel=1e-10, M=fft_poisson(), max_niter=50,
+    )
+    u_p, info_p = pseudo_transient(
+        negF, u_rough, p,
+        algo="gmres", tol_rel=1e-10, M=fft_poisson(),
+        delta0=float((n + 1) ** 2), max_steps=60,
+    )
+    assert bool(info_p.solved)
+    # same (lower-branch) solution as Newton, in fewer outer steps
+    np.testing.assert_allclose(u_p, u_n, atol=1e-8)
+    assert int(info_p.stats.outer_iterations) < int(info_n.stats.outer_iterations)
+
+
+def test_ptc_standard_start_is_cheap():
+    # from the standard sin-bump start Ψtc costs ~Newton (5 steps at λ=6)
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 32
+    p = bratu2d.default_config(n, lam=6.0)
+    u0 = bratu2d.initial_guess(n)
+    _, info = pseudo_transient(
+        lambda u, p: -bratu2d.residual_scaled(u, p), u0, p,
+        algo="gmres", tol_rel=1e-10, M=fft_poisson(),
+        delta0=float((n + 1) ** 2), max_steps=60,
+    )
+    assert bool(info.solved)
+    assert int(info.stats.outer_iterations) <= 7
+
+
 def test_ptc_krylov_dtype_refinement():
     # f32 inner loop, f64 state — the mixed-precision seam of the Newton
     # drivers carried over
