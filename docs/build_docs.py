@@ -67,6 +67,7 @@ AUTODOC_MODULES = [
     "newtonkrylov_tpu.mg",
     "newtonkrylov_tpu.fftprec",
     "newtonkrylov_tpu.df32",
+    "newtonkrylov_tpu.spectral",
     "newtonkrylov_tpu.timestep",
     "newtonkrylov_tpu.spaces",
     "newtonkrylov_tpu.halo",

@@ -17,7 +17,7 @@ Public API parity: the reference exports exactly ``newton_krylov`` and
 (one XLA program).
 """
 
-from . import df32, fftprec, mg, precond, problems, timestep
+from . import df32, fftprec, mg, precond, problems, spectral, timestep
 from .continuation import pseudo_transient
 from .implicit import make_implicit_solver
 from .forcing import EisenstatWalker, Fixed, Forcing
@@ -65,5 +65,6 @@ __all__ = [
     "mg",
     "precond",
     "problems",
+    "spectral",
     "timestep",
 ]
