@@ -128,6 +128,50 @@ def test_extreme_eigs_feed_chebyshev():
     assert bool(info.solved)
 
 
+def test_extreme_eigs_sharded_parity():
+    """The diagnostic runs under shard_map with ShardedSpace psum reductions
+    and reproduces the single-device Ritz extremes bit-for-bit-ish."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+    from newtonkrylov_tpu.halo import exchange_2d, make_mesh
+    from newtonkrylov_tpu.problems import bratu2d
+    from newtonkrylov_tpu.spaces import ShardedSpace
+
+    n = 32
+    p = bratu2d.default_config(n, lam=4.0)
+    u0 = bratu2d.initial_guess(n)
+
+    J_ref = JacobianOperator(bratu2d.residual_scaled, u0, p)
+    lo_ref, hi_ref = extreme_eigs(J_ref, jnp.ones_like(u0), k=24)
+
+    mesh = make_mesh((2, 2), ("i", "j"))
+    axes = ("i", "j")
+
+    def local_residual(u_local, p):
+        up = exchange_2d(u_local, axes, "dirichlet")
+        v = up[1:-1, 1:-1]
+        stencil = (up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:]
+                   + up[1:-1, :-2] - 4.0 * v)
+        return stencil + (p.dx * p.dx) * p.lam * jnp.exp(v)
+
+    def run(u0):
+        J = JacobianOperator(local_residual, u0, p)
+        space = ShardedSpace(axis_names=axes)
+        v0 = jax.tree.map(jnp.ones_like, u0)  # replicate-consistent start
+        return extreme_eigs(J, v0, k=24, space=space)
+
+    lo_sh, hi_sh = jax.jit(
+        shard_map(run, mesh=mesh, in_specs=P("i", "j"), out_specs=(P(), P()))
+    )(u0)
+    np.testing.assert_allclose(float(lo_sh), float(lo_ref), rtol=1e-10)
+    np.testing.assert_allclose(float(hi_sh), float(hi_ref), rtol=1e-10)
+
+
 def test_lanczos_jits():
     n = 64
     A, _ = _sym_operator(n, seed=5)
