@@ -57,11 +57,16 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
   continuum compactness of Δ⁻¹(w + u·∇) bounds only finitely many outliers,
   while the discrete norm ‖S⁻¹C‖ ~ c/(2π²·Δx) grows, and the linearization's
   zeroth-order potential c·(u_x+u_y) rivals Δ's lowest eigenvalue 2π² once
-  c ≳ π√2 — at c = 6 the preconditioned spectrum straddles the origin
-  (measured real range [−90, +14] at n = 32); restarted DST-GMRES then
-  stalls outright, and even an unrestarted 400-dim space limps at ~350
-  inners per outer (2401 total at c = 25, n = 96 — ~15–26× the ADI
-  recipe's cost at the same tolerance, examples/convdiff_2d.py).
+  c ≳ π√2 — the DST-preconditioned spectrum at the root grows a cluster of
+  negative-real eigenvalues: 6/1024 isolated outliers at c = 2 (n = 32;
+  unrestarted GMRES eats isolated outliers, the recipe works), 24 at c = 6
+  (real range [−90, +14]), 91 at c = 25 — measured matrix-free by Arnoldi
+  Ritz values and dense-cross-checked, tests/test_spectral.py (the ADI
+  spectrum at c = 25 is by contrast entirely positive in [0.41, 1.07]).
+  Restarted DST-GMRES then stalls outright, and even an unrestarted
+  400-dim space limps at ~350 inners per outer (2401 total at c = 25,
+  n = 96 — ~15–26× the ADI recipe's cost at the same tolerance,
+  examples/convdiff_2d.py).
 * **Host-side alternative (any c)** — the reference's own robust family
   (`/root/reference/examples/bratu.jl:121-128`):
   ``newton_krylov`` (host driver) + ``N=ilu0(offsets=(-n, -1, 0, 1, n))``,

@@ -172,6 +172,50 @@ def test_extreme_eigs_sharded_parity():
     np.testing.assert_allclose(float(hi_sh), float(hi_ref), rtol=1e-10)
 
 
+def test_convdiff_preconditioned_spectra_ground_recipe_map():
+    """Measure, matrix-free, the spectral structure behind convdiff2d's
+    recipe map.  At the manufactured root (n=32, dense oracle cross-checked
+    while writing this test): the DST-preconditioned Jacobian has a growing
+    cluster of negative-real eigenvalues — 6/1024 at c=2 (isolated
+    outliers; unrestarted GMRES eats them, the recipe works), 24 at c=6,
+    91 at c=25 (restarted DST-GMRES stalls) — while the ADI-preconditioned
+    spectrum at c=25 is entirely positive and clustered in [0.41, 1.07]:
+    the measured reason ADI is the convection-dominated recipe.  The k=80
+    Arnoldi extremes reproduce the dense ones ([-3.33, 142.13] at c=2,
+    [-90.03, 13.63] at c=6) — outliers are exactly what Ritz values
+    converge to first."""
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.precond import adi
+    from newtonkrylov_tpu.problems import convdiff2d
+
+    n = 32
+    k = 80
+
+    def precond_ritz(c, factory):
+        p = convdiff2d.default_config(n, c=c)
+        u_star = convdiff2d.manufactured_solution(n)
+        J = JacobianOperator(convdiff2d.residual_scaled, u_star, p)
+        M = factory(J)
+        A = FnOperator(lambda v: M(J.mv(v)), u_star)
+        v0 = jnp.ones_like(u_star)
+        H, _ = arnoldi_hessenberg(A, v0, k)
+        return ritz_values(H).real
+
+    r2 = precond_ritz(2.0, fft_poisson())
+    np.testing.assert_allclose(r2.min(), -3.333, rtol=1e-2)
+    np.testing.assert_allclose(r2.max(), 142.128, rtol=1e-2)
+
+    r6 = precond_ritz(6.0, fft_poisson())
+    assert r6.min() < 0 < r6.max()
+    np.testing.assert_allclose(r6.min(), -90.03, rtol=1e-2)
+    # the negative cluster grows with c (Ritz resolves the outliers first)
+    assert (r6 < 0).sum() > (r2 < 0).sum()
+
+    r25 = precond_ritz(25.0, adi(sweeps=4))
+    assert (r25 > 0).all()  # ADI restores one-sidedness...
+    assert r25.max() < 1.5  # ...and clusters the spectrum near 1
+
+
 def test_lanczos_jits():
     n = 64
     A, _ = _sym_operator(n, seed=5)
