@@ -184,6 +184,62 @@ def test_ptc_standard_start_is_cheap():
     assert int(info.stats.outer_iterations) <= 7
 
 
+def test_ptc_sharded_parity():
+    """Ψtc composes with shard_map + ShardedSpace like the Newton drivers:
+    identical iteration counts and state to single-device."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import PartitionSpec as P
+
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.halo import exchange_2d, make_mesh
+    from newtonkrylov_tpu.problems import bratu2d
+    from newtonkrylov_tpu.spaces import ShardedSpace
+
+    n = 32
+    p = bratu2d.default_config(n, lam=6.0)
+    u0 = bratu2d.initial_guess(n)
+    d0 = float((n + 1) ** 2)
+    axes = ("i", "j")
+    mesh = make_mesh((2, 2), axes)
+
+    negF = lambda u, p: -bratu2d.residual_scaled(u, p)
+    u_ref, info_ref = pseudo_transient(
+        negF, u0, p, algo="gmres", tol_rel=1e-10, M=fft_poisson(),
+        delta0=d0, max_steps=60,
+    )
+    assert bool(info_ref.solved)
+
+    def negF_local(u_local, p):
+        up = exchange_2d(u_local, axes, "dirichlet")
+        v = up[1:-1, 1:-1]
+        stencil = (up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:]
+                   + up[1:-1, :-2] - 4.0 * v)
+        return -(stencil + (p.dx * p.dx) * p.lam * jnp.exp(v))
+
+    def run(u0):
+        return pseudo_transient(
+            negF_local, u0, p, algo="gmres", tol_rel=1e-10,
+            M=fft_poisson(axis_names=axes, scope="global"), delta0=d0, max_steps=60,
+            space=ShardedSpace(axis_names=axes),
+            krylov_kwargs={"restart": 100},
+        )
+
+    u_sh, info_sh = jax.jit(
+        jax.shard_map(
+            run, mesh=mesh, in_specs=P("i", "j"),
+            out_specs=(P("i", "j"), jax.tree.map(lambda _: P(), info_ref)),
+            check_vma=False,
+        )
+    )(u0)
+    assert bool(info_sh.solved)
+    assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+    assert int(info_sh.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
+
+
 def test_ptc_krylov_dtype_refinement():
     # f32 inner loop, f64 state — the mixed-precision seam of the Newton
     # drivers carried over
