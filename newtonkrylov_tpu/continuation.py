@@ -81,6 +81,7 @@ def pseudo_transient(
     krylov_kwargs: Optional[dict] = None,
     space: Optional[VectorSpace] = None,
     krylov_dtype=None,
+    residual_df: Optional[Callable] = None,
 ):
     """Solve F(u, p) = 0 by Ψtc (pseudo-transient continuation) + SER.
 
@@ -131,6 +132,13 @@ def pseudo_transient(
         **shifted** operator ``δ⁻¹I + J`` — probing factories (fft_poisson,
         adi, jacobi) absorb the diagonal shift automatically, which is
         exactly what Ψtc preconditioning wants.
+    residual_df
+        The df32 acceptance-residual path of
+        :func:`~newtonkrylov_tpu.newton.newton_krylov_jit`, identically:
+        state carried as a paired-f32 DF, inner loop in ``krylov_dtype``
+        (defaulted f32), acceptance residual/norm in double-word VPU
+        arithmetic, f64 in/out at the boundary — Ψtc at 1e-8 on TPU with
+        no emulated-f64 op in the loop.
 
     Returns ``(u, NewtonInfo)``; ``info.history`` is the padded
     ``‖F‖``-trace, ``info.stats.outer_iterations`` the number of pseudo-time
@@ -141,11 +149,38 @@ def pseudo_transient(
     if forcing is not None and not isinstance(forcing, Forcing):
         raise TypeError(f"forcing must be a Forcing or None, got {forcing!r}")
 
-    res0 = F(u0, p)
     from .newton import _gmres_parity_default
 
-    _gmres_parity_default(krylov_kwargs, algo, res0)
-    n_res0 = space.norm(res0)
+    if residual_df is not None:
+        # df32 acceptance path, mirroring newton_krylov_jit: the state is a
+        # DF pair, the acceptance residual/norm run in paired-f32 VPU ops,
+        # and the inner loop takes the hi word as its RHS.  Same
+        # one-jitted-program rule as the Newton driver (df32.py warning).
+        from . import df32 as _dd
+
+        if krylov_dtype is None:
+            krylov_dtype = jnp.float32
+        if not any(isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(u0)):
+            return jax.jit(
+                lambda u0_: pseudo_transient(
+                    F, u0_, p, delta0=delta0, delta_max=delta_max,
+                    tol_rel=tol_rel, tol_abs=tol_abs, max_steps=max_steps,
+                    forcing=forcing, algo=algo, M=M, N=N,
+                    krylov_kwargs=krylov_kwargs, space=space,
+                    krylov_dtype=krylov_dtype, residual_df=residual_df,
+                )
+            )(u0)
+        out_f64 = any(
+            jnp.dtype(l.dtype) == jnp.float64 for l in jax.tree.leaves(u0)
+        )
+        u0 = _dd.df_from_f64(u0)
+        res0 = residual_df(u0, p)
+        _gmres_parity_default(krylov_kwargs, algo, res0.hi)
+        n_res0 = space.norm(res0.hi)
+    else:
+        res0 = F(u0, p)
+        _gmres_parity_default(krylov_kwargs, algo, res0)
+        n_res0 = space.norm(res0)
     dtype = n_res0.dtype
     tol = tol_rel * n_res0 + tol_abs
     eta0 = jnp.asarray(forcing.initial() if forcing is not None else 0.0, dtype)
@@ -156,7 +191,11 @@ def pseudo_transient(
         return (c.n_res > tol) & (c.outer <= max_steps) & jnp.logical_not(c.blown)
 
     def body(c: _PTCCarry):
-        if krylov_dtype is not None:
+        if residual_df is not None:
+            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u.hi)
+            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
+            b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res.hi)
+        elif krylov_dtype is not None:
             u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u)
             J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
             b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res)
@@ -176,14 +215,20 @@ def pseudo_transient(
                 jnp.result_type(*[l.dtype for l in jax.tree.leaves(b)])
             )
         result = solvers.solve(algo, A, b, **kw)
-        if krylov_dtype is not None:
-            state_dt = jnp.result_type(*[l.dtype for l in jax.tree.leaves(c.u)])
-            d = jax.tree.map(lambda l: l.astype(state_dt), result.x)
+        if residual_df is not None:
+            d32 = jax.tree.map(lambda l: l.astype(jnp.float32), result.x)
+            u_new = _dd.tree_add_f32(c.u, jax.tree.map(jnp.negative, d32))
+            res_new = residual_df(u_new, p)
+            n_new = space.norm(res_new.hi)
         else:
-            d = result.x
-        u_new = tree_sub(c.u, d)
-        res_new = F(u_new, p)
-        n_new = space.norm(res_new)
+            if krylov_dtype is not None:
+                state_dt = jnp.result_type(*[l.dtype for l in jax.tree.leaves(c.u)])
+                d = jax.tree.map(lambda l: l.astype(state_dt), result.x)
+            else:
+                d = result.x
+            u_new = tree_sub(c.u, d)
+            res_new = F(u_new, p)
+            n_new = space.norm(res_new)
         blown = jnp.logical_not(jnp.isfinite(n_new))
         # SER: grow δ by the residual-reduction ratio; a *bad* step (n_new >
         # n_res) shrinks δ by the same rule, automatically backing toward the
@@ -214,4 +259,7 @@ def pseudo_transient(
         t=jnp.zeros((), dtype),
         history=fin.hist,
     )
+    if residual_df is not None:
+        u_out = _dd.df_to_f64(fin.u) if out_f64 else fin.u.hi
+        return u_out, info
     return fin.u, info

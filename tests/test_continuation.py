@@ -248,3 +248,41 @@ def test_ptc_krylov_dtype_refinement():
     )
     assert bool(info.solved)
     assert abs(float(u[0])) < 1.0e-8
+
+
+def test_ptc_residual_df():
+    """Ψtc with the df32 acceptance residual: 1e-8 on 2-D Bratu with an f32
+    inner loop, matching the f64 oracle solve (the production
+    mixed-precision seam, identical to newton_krylov_jit's)."""
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 32
+    p = bratu2d.default_config(n, lam=6.0)
+    u0 = bratu2d.initial_guess(n)
+    d0 = float((n + 1) ** 2)
+
+    def negF(u, p):
+        return -bratu2d.residual_scaled(u, p)
+
+    def negF_df(u, p):
+        from newtonkrylov_tpu import df32 as dd
+
+        r = bratu2d.residual_scaled_df(u, p)
+        return dd.DF(-r.hi, -r.lo)
+
+    u_ref, info_ref = pseudo_transient(
+        negF, u0, p, algo="gmres", tol_rel=1e-8, M=fft_poisson(),
+        delta0=d0, max_steps=60,
+    )
+    assert bool(info_ref.solved)
+
+    u_df, info_df = pseudo_transient(
+        negF, u0, p, algo="gmres", tol_rel=1e-8,
+        M=fft_poisson(precision="high"), delta0=d0, max_steps=60,
+        residual_df=negF_df,
+    )
+    assert bool(info_df.solved)
+    # same root to well below the 1e-8 target; f64 in/out at the boundary
+    assert u_df.dtype == u_ref.dtype
+    np.testing.assert_allclose(np.asarray(u_df), np.asarray(u_ref), atol=1e-7)
