@@ -57,6 +57,46 @@ __all__ = [
 ]
 
 
+def _resolve_cheb_bounds(J, bounds, lanczos_k: int, space=None, v0=None):
+    """Resolve a ``bounds`` spec to a concrete (lo, hi) pair or None.
+
+    ``bounds="lanczos"`` runs a k-step Lanczos on the operator itself
+    (:func:`~newtonkrylov_tpu.spectral.extreme_eigs`) at factory time —
+    k matvecs once per factory invocation (hoisted entirely with
+    ``precond_refresh="once"``).  The Ritz interval is *inside* the true
+    spectrum (interlacing), so it is widened 5% per end before use —
+    measured on 2-D Bratu 64²: Lanczos bounds cut Cheb(8)-PCG inners
+    47 → 38 and Cheb(16) 28 → 23 vs the probed-Gershgorin default, because
+    Gershgorin's ±4|o| radius overestimates the interval ~2× and the
+    polynomial wastes its degree covering empty spectrum.
+    """
+    if not isinstance(bounds, str):
+        return bounds
+    if bounds != "lanczos":
+        raise ValueError(f'unknown bounds spec {bounds!r}; use "lanczos" or (lo, hi)')
+    from .spectral import extreme_eigs
+    from .tree import tree_size
+
+    k = min(lanczos_k, tree_size(J.u))
+    # v0 needs broadband frequency content (an all-ones start underestimates
+    # the high-frequency |λ|max end: measured 33 vs 20 inners); the default
+    # cos(arange) has it.  Sharded callers pass the SAME global pattern
+    # rebuilt from mesh offsets so bounds — and hence iteration counts —
+    # match single-device exactly.
+    lo, hi = extreme_eigs(J, v0, k=k, space=space)
+    # Widen ONLY the far-from-zero end: the Ritz interval is inside the
+    # spectrum, but widening the near-zero end can push it across the
+    # origin (ND stencils: hi ≈ −2π²Δx² is a hair below 0) — an interval
+    # straddling zero makes the polynomial explode (measured: 47 → 1085
+    # inners).  Eigenvalues beyond the unwidened near-zero end map to
+    # (0, 1) under λ·p(λ) and CG mops them up, same as the lo_frac clamp.
+    half = 0.05 * (hi - lo)
+    far_is_lo = jnp.abs(lo) >= jnp.abs(hi)
+    lo = jnp.where(far_is_lo, lo - half, lo)
+    hi = jnp.where(far_is_lo, hi, hi + half)
+    return (lo, hi)
+
+
 def _cheb_bounds(o, dmin, dmax, bounds, lo_frac, dtype):
     """Spectral interval [lo, hi] for A = o·S + d·I, as (θ, δ).
 
@@ -108,7 +148,8 @@ def _cheb_recurrence(matvec: Callable, theta, delta, degree: int) -> Callable:
 
 
 def chebyshev(degree: int = 16, *, bounds=None, lo_frac: float = 1.0 / 30.0,
-              engine: str = "auto", axis_names=None, bc: str = "dirichlet") -> Callable:
+              engine: str = "auto", axis_names=None, bc: str = "dirichlet",
+              lanczos_k: int = 48) -> Callable:
     """Factory: Chebyshev polynomial preconditioner M⁻¹ = p_degree(A) ≈ A⁻¹.
 
     The TPU-native "strong matrix-free preconditioner": a *fixed* polynomial
@@ -125,10 +166,14 @@ def chebyshev(degree: int = 16, *, bounds=None, lo_frac: float = 1.0 / 30.0,
 
     Applies to 5-point-stencil Jacobians ``A = o·S + d(x)·I`` on 2-D array
     states (probed per Newton iteration like :func:`~newtonkrylov_tpu.mg.multigrid2d`).
-    ``bounds=(lo, hi)`` overrides the spectral-interval estimate;
-    ``engine`` is ``"pallas"`` (aligned-layout fused kernel), ``"xla"``
-    (portable jnp ops — CPU, small blocks), or ``"auto"`` (pallas on TPU
-    for n ≥ 128 multiples of 8, else xla).
+    ``bounds=(lo, hi)`` overrides the spectral-interval estimate, and
+    ``bounds="lanczos"`` measures it — ``lanczos_k`` operator matvecs per
+    factory invocation for a ~2× tighter interval than probed Gershgorin
+    (measured: Cheb(16) inners 28 → 23 on Bratu 64²; see
+    :func:`_resolve_cheb_bounds`); ``engine`` is ``"pallas"``
+    (aligned-layout fused kernel), ``"xla"`` (portable jnp ops — CPU,
+    small blocks), or ``"auto"`` (pallas on TPU for n ≥ 128 multiples of
+    8, else xla).
 
     **Sharded use** (the strong preconditioner for ``newton_krylov_sharded``,
     VERDICT r2 missing #1): pass ``axis_names=(ax0, ax1)`` (mesh axis per
@@ -155,6 +200,7 @@ def chebyshev(degree: int = 16, *, bounds=None, lo_frac: float = 1.0 / 30.0,
 
         def sharded_factory(J: JacobianOperator):
             from .halo import exchange_2d
+            from .spaces import ShardedSpace
 
             nl, ml = J.u.shape
             roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
@@ -162,7 +208,18 @@ def chebyshev(degree: int = 16, *, bounds=None, lo_frac: float = 1.0 / 30.0,
             o, d = probe_5point(J, roff, coff)
             dmin = lax.pmin(jnp.min(d), names) if names else jnp.min(d)
             dmax = lax.pmax(jnp.max(d), names) if names else jnp.max(d)
-            theta, delta = _cheb_bounds(o, dmin, dmax, bounds, lo_frac, d.dtype)
+            # rebuild the single-device default Lanczos start — the global
+            # cos(linear-index) pattern — from this shard's mesh offsets
+            msize = (lax.axis_size(ax1) if ax1 is not None else 1) * ml
+            gi = roff + jnp.arange(nl)[:, None]
+            gj = coff + jnp.arange(ml)[None, :]
+            v0_global = jnp.cos((gi * msize + gj).astype(J.u.dtype))
+            b = _resolve_cheb_bounds(
+                J, bounds, lanczos_k,
+                space=ShardedSpace(axis_names=names) if names else None,
+                v0=v0_global,
+            )
+            theta, delta = _cheb_bounds(o, dmin, dmax, b, lo_frac, d.dtype)
 
             def matvec(x):
                 xp = exchange_2d(x, (ax0, ax1), bc)
@@ -175,7 +232,8 @@ def chebyshev(degree: int = 16, *, bounds=None, lo_frac: float = 1.0 / 30.0,
 
     def factory(J: JacobianOperator):
         o, d = probe_5point(J)
-        theta, delta = _cheb_bounds(o, jnp.min(d), jnp.max(d), bounds, lo_frac, d.dtype)
+        b = _resolve_cheb_bounds(J, bounds, lanczos_k)
+        theta, delta = _cheb_bounds(o, jnp.min(d), jnp.max(d), b, lo_frac, d.dtype)
         return _cheb_engine_apply(o, d, theta, delta, degree, engine)
 
     return factory

@@ -146,3 +146,74 @@ def test_newton_cheb_df32_refined():
     assert float(jnp.linalg.norm(res)) <= 1e-7 * float(
         jnp.linalg.norm(bratu2d.residual_scaled(u0, p))
     )
+
+
+def test_cheb_lanczos_bounds_cut_iterations():
+    """bounds="lanczos" (measured Ritz interval, far-end widened) beats the
+    probed-Gershgorin default — Gershgorin's ±4|o| radius over-covers the
+    spectrum ~2× and the polynomial wastes degree on empty interval."""
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 64
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n)
+    _, i_g = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="cg", tol_rel=1e-8,
+        M=chebyshev(degree=16, engine="xla"),
+    )
+    u_l, i_l = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="cg", tol_rel=1e-8,
+        M=chebyshev(degree=16, bounds="lanczos", engine="xla"),
+    )
+    assert bool(i_l.solved)
+    # measured: 28 -> 20 inners; assert a real margin, not the exact value
+    assert int(i_l.stats.inner_iterations) < int(i_g.stats.inner_iterations)
+    np.testing.assert_allclose(
+        float(i_l.stats.n_res), 0.0, atol=1e-8 * 1.0
+    )
+
+
+def test_cheb_lanczos_bounds_sharded_parity():
+    """The Lanczos bound estimate runs inside shard_map (psum-reduced
+    Lanczos) and reproduces the single-device iteration counts."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import PartitionSpec as P
+
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.halo import (
+        make_mesh,
+        newton_krylov_sharded,
+        sharded_residual_2d,
+    )
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 32
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n)
+
+    def bratu2d_padded(up, p):
+        u = up[1:-1, 1:-1]
+        stencil = (up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:]
+                   + up[1:-1, :-2] - 4.0 * u)
+        return stencil + (p.dx * p.dx) * p.lam * jnp.exp(u)
+
+    _, i_ref = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="cg", tol_rel=1e-8,
+        M=chebyshev(degree=8, bounds="lanczos", engine="xla"),
+    )
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(bratu2d_padded, ("i", "j"), "dirichlet")
+    _, i_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs={
+            "algo": "cg", "tol_rel": 1e-8,
+            "M": chebyshev(degree=8, bounds="lanczos",
+                           axis_names=("i", "j")),
+        },
+    )
+    assert bool(i_sh.solved)
+    assert int(i_sh.stats.inner_iterations) == int(i_ref.stats.inner_iterations)
