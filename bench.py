@@ -228,6 +228,8 @@ def main():
     lanes = [("plain CG", None, "outer", (512, 1024, 2048)),
              ("MG-PCG", multigrid2d(), "outer", (1024, 2048, 4096)),
              ("DST-PCG ref-semantics", fft_poisson(), "outer", (2048,)),
+             # lo_frac=1/300 is hand-tuned for this size; bounds="lanczos"
+             # measured within 4% of it (388 vs 374 inners) with no tuning
              ("Cheb-PCG", chebyshev(16, lo_frac=1 / 300), "once", (1024,)),
              ("two-grid", two_grid(8, precision="high"), "once",
               (1024, 2048, 4096)),
