@@ -149,3 +149,23 @@ def test_export_roundtrip_production_config(tmp_path):
     assert int(outer_aot) == int(outer_live)
     assert int(inner_aot) == int(inner_live)
     np.testing.assert_allclose(np.asarray(u_aot), np.asarray(u_live), atol=1e-12)
+
+
+def test_export_roundtrip_ptc(tmp_path):
+    """pseudo_transient AOT-exports like the Newton drivers: the SER
+    while-loop and the shifted-operator solve serialize to StableHLO."""
+    import jax
+    import jax.numpy as jnp
+
+    from newtonkrylov_tpu import pseudo_transient
+    from newtonkrylov_tpu.utils.serving import export_solver, load_exported, save_exported
+
+    F = lambda x, p: jnp.arctan(x)
+    f = jax.jit(lambda x0: pseudo_transient(F, x0)[0])
+    x0 = jnp.array([3.0])
+
+    exp = export_solver(f, (x0,))
+    path = save_exported(exp, str(tmp_path / "ptc.bin"))
+    re = load_exported(path)
+    np.testing.assert_allclose(np.asarray(re.call(x0)), np.asarray(f(x0)), atol=1e-12)
+    assert abs(float(re.call(x0)[0])) < 1e-5
