@@ -44,7 +44,7 @@ from jax import lax
 
 from . import solvers
 from .forcing import Fixed, Forcing
-from .newton import NewtonInfo, Stats, _cast_floating
+from .newton import NewtonInfo, Stats, _cast_floating, _resolve_forcing
 from .operator import JacobianOperator, ShiftedOperator
 from .spaces import EuclideanSpace, VectorSpace
 from .tree import tree_sub
@@ -146,8 +146,7 @@ def pseudo_transient(
     """
     space = space or EuclideanSpace()
     krylov_kwargs = dict(krylov_kwargs or {})
-    if forcing is not None and not isinstance(forcing, Forcing):
-        raise TypeError(f"forcing must be a Forcing or None, got {forcing!r}")
+    forcing = _resolve_forcing(forcing)
 
     from .newton import _gmres_parity_default
 

@@ -145,7 +145,7 @@ class ShiftedOperator(LinearOperator):
 
     def __init__(self, J, alpha):
         self.J = J
-        self.alpha = alpha
+        self.alpha = jnp.asarray(alpha)  # accept Python floats per the docstring
 
     # factory pass-throughs ---------------------------------------------------
     @property

@@ -77,7 +77,12 @@ def _resolve_cheb_bounds(J, bounds, lanczos_k: int, space=None, v0=None):
     from .spectral import extreme_eigs
     from .tree import tree_size
 
-    k = min(lanczos_k, tree_size(J.u))
+    # Clamp k by the GLOBAL space dimension: under sharding J.u is one
+    # block, and a local tree_size would silently shrink k per shard,
+    # breaking sharded/single-device bound parity (same trap the solvers
+    # guard with size_multiplier — solvers/cg.py itmax).
+    mult = space.size_multiplier() if space is not None else 1
+    k = min(lanczos_k, tree_size(J.u) * mult)
     # v0 needs broadband frequency content (an all-ones start underestimates
     # the high-frequency |λ|max end: measured 33 vs 20 inners); the default
     # cos(arange) has it.  Sharded callers pass the SAME global pattern

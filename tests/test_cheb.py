@@ -217,3 +217,49 @@ def test_cheb_lanczos_bounds_sharded_parity():
     )
     assert bool(i_sh.solved)
     assert int(i_sh.stats.inner_iterations) == int(i_ref.stats.inner_iterations)
+
+
+def test_cheb_lanczos_bounds_sharded_parity_small_shards():
+    """Regression: k must clamp to the GLOBAL dimension, not the local
+    shard's — at n=8 on a 2x2 mesh each shard holds 16 entries < lanczos_k,
+    and a local clamp silently shrank k per shard (8 vs 9 inners)."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import PartitionSpec as P
+
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.halo import (
+        make_mesh,
+        newton_krylov_sharded,
+        sharded_residual_2d,
+    )
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 8  # 64 global unknowns; 16 per shard < lanczos_k=48
+    p = bratu2d.default_config(n, lam=4.0)
+    u0 = bratu2d.initial_guess(n)
+
+    def bratu2d_padded(up, p):
+        u = up[1:-1, 1:-1]
+        stencil = (up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:]
+                   + up[1:-1, :-2] - 4.0 * u)
+        return stencil + (p.dx * p.dx) * p.lam * jnp.exp(u)
+
+    _, i_ref = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="cg", tol_rel=1e-8,
+        M=chebyshev(degree=8, bounds="lanczos", engine="xla"),
+    )
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(bratu2d_padded, ("i", "j"), "dirichlet")
+    _, i_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs={
+            "algo": "cg", "tol_rel": 1e-8,
+            "M": chebyshev(degree=8, bounds="lanczos",
+                           axis_names=("i", "j")),
+        },
+    )
+    assert bool(i_sh.solved)
+    assert int(i_sh.stats.inner_iterations) == int(i_ref.stats.inner_iterations)

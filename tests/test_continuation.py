@@ -50,6 +50,17 @@ def test_shifted_operator_dense_oracle():
     np.testing.assert_allclose(A.rmm(V), V @ A_dense, rtol=1e-13)
 
 
+def test_shifted_operator_accepts_python_float():
+    # regression: the documented public form ShiftedOperator(J, 0.7) with a
+    # plain float crashed on .astype before alpha normalization
+    x = jnp.array([3.0, 5.0])
+    J = JacobianOperator(F_kelley, x)
+    A = ShiftedOperator(J, 0.7)
+    v = jnp.array([1.0, -2.0])
+    np.testing.assert_allclose(A.mv(v), J.mv(v) + 0.7 * v, rtol=1e-14)
+    np.testing.assert_allclose(A.rmv(v), J.rmv(v) + 0.7 * v, rtol=1e-14)
+
+
 def test_shifted_operator_passthrough():
     x = jnp.array([3.0, 5.0])
     J = JacobianOperator(F_kelley, x)
