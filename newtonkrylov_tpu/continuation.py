@@ -44,8 +44,13 @@ from jax import lax
 
 from . import solvers
 from .forcing import Fixed, Forcing
-from .newton import NewtonInfo, Stats, _cast_floating, _resolve_forcing
-from .operator import JacobianOperator, ShiftedOperator
+from .newton import (
+    NewtonInfo,
+    Stats,
+    _linearize_for_inner,
+    _resolve_forcing,
+)
+from .operator import ShiftedOperator
 from .spaces import EuclideanSpace, VectorSpace
 from .tree import tree_sub
 
@@ -111,7 +116,12 @@ def pseudo_transient(
       only as fast as the residual falls).
 
     Parameters mirror :func:`~newtonkrylov_tpu.newton.newton_krylov_jit`
-    where shared; PTC-specific:
+    where shared.  Three Newton-driver options are deliberately absent:
+    ``linesearch`` (Ψtc *is* the globalization), ``residual_dtype``
+    (superseded by ``residual_df``), and ``precond_refresh="once"`` (the
+    preconditioned operator δ⁻¹I + J changes with δ every step, so a
+    factory frozen at δ₀ bakes in a stale shift — refresh-per-step is the
+    correct semantics here).  PTC-specific:
 
     delta0
         Initial pseudo-timestep.  Small = cautious (closer to explicit
@@ -190,17 +200,7 @@ def pseudo_transient(
         return (c.n_res > tol) & (c.outer <= max_steps) & jnp.logical_not(c.blown)
 
     def body(c: _PTCCarry):
-        if residual_df is not None:
-            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u.hi)
-            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
-            b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res.hi)
-        elif krylov_dtype is not None:
-            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u)
-            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
-            b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res)
-        else:
-            J = JacobianOperator(F, c.u, p)
-            b = c.res
+        J, b = _linearize_for_inner(F, p, c.u, c.res, krylov_dtype, residual_df)
         A = ShiftedOperator(J, 1.0 / c.delta)
         kw = dict(krylov_kwargs)
         kw["space"] = space

@@ -100,6 +100,36 @@ def _cast_floating(tree, dt):
     )
 
 
+def _linearize_for_inner(F, p, u, res, krylov_dtype, residual_df):
+    """(J, b) for the inner solve under the three precision modes shared by
+    :func:`newton_krylov_jit` and
+    :func:`~newtonkrylov_tpu.continuation.pseudo_transient`:
+
+    * df32 — linearize at the hi word, RHS = carried ``res.hi``, both in
+      ``krylov_dtype``; params' float arrays cast down too so they can't
+      promote the inner loop back to (emulated) f64;
+    * low-precision refinement — state and carried high-precision residual
+      cast down;
+    * plain — linearize at the state.
+    """
+    if residual_df is not None:
+        u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), u.hi)
+        J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
+        b = jax.tree.map(lambda l: l.astype(krylov_dtype), res.hi)
+    elif krylov_dtype is not None:
+        u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), u)
+        J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
+        b = jax.tree.map(lambda l: l.astype(krylov_dtype), res)
+    else:
+        J = JacobianOperator(F, u, p)
+        # use the linearization's free primal, NOT the carried residual:
+        # they are the same value, but the carried copy was computed by a
+        # differently-fused program and its last-bit differences measurably
+        # shift CG counts — host/jit driver count parity pins this choice
+        b = J.res
+    return J, b
+
+
 def _resolve_forcing(forcing):
     if forcing is None:
         return None
@@ -570,25 +600,10 @@ def newton_krylov_jit(
         return (c.n_res > tol) & (c.outer <= max_niter) & jnp.logical_not(c.blown)
 
     def body(c: _JitCarry):
-        if residual_df is not None:
-            # df32 refined path: linearize at hi (f32), RHS = res.hi.
-            # p's floating arrays cast down too (e.g. StepParams.un/dt) so
-            # the residual can't promote the inner loop back to f64.
-            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u.hi)
-            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
-            b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res.hi)
-        elif krylov_dtype is not None:
-            # Iterative refinement: linearize + inner-solve in low precision,
-            # RHS = high-precision residual cast down, update in state dtype.
-            # The high-precision residual is CARRIED from the previous
-            # outer's acceptance eval instead of re-evaluated — one f64
-            # (emulated, ~0.2 ms at 1024²) residual per outer, not two.
-            u_low = jax.tree.map(lambda l: l.astype(krylov_dtype), c.u)
-            J = JacobianOperator(F, u_low, _cast_floating(p, krylov_dtype))
-            b = jax.tree.map(lambda l: l.astype(krylov_dtype), c.res)
-        else:
-            J = JacobianOperator(F, c.u, p)
-            b = J.res
+        # The high-precision residual is CARRIED from the previous outer's
+        # acceptance eval instead of re-evaluated — one high-precision
+        # residual per outer, not two.
+        J, b = _linearize_for_inner(F, p, c.u, c.res, krylov_dtype, residual_df)
         kw = dict(krylov_kwargs)
         kw["space"] = space
         kw.setdefault("atol", 0.0)  # outer loop owns absolute tolerance
