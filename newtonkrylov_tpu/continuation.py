@@ -87,6 +87,7 @@ def pseudo_transient(
     space: Optional[VectorSpace] = None,
     krylov_dtype=None,
     residual_df: Optional[Callable] = None,
+    floor_rtol: Optional[float] = 2.0,
 ):
     """Solve F(u, p) = 0 by Ψtc (pseudo-transient continuation) + SER.
 
@@ -132,6 +133,14 @@ def pseudo_transient(
     delta_max
         Cap on the SER growth.  At ``δ = delta_max`` the shift ``1/δ`` is
         negligible and steps are Newton steps.
+    max_steps
+        Inclusive bound, deliberately matching the Newton drivers'
+        ``max_niter`` convention (the reference loops while
+        ``outer ≤ max_niter``, src/Ariadne.jl:292,321): up to
+        ``max_steps + 1`` pseudo-time steps run, and
+        ``stats.outer_iterations`` can read ``max_steps + 1`` on a solve
+        that exhausts the budget.  Size history buffers accordingly
+        (``info.history`` already is).
     forcing
         Inner tolerance strategy; ``Fixed(1e-2)`` by default (Kelley's
         ``ptcsol`` default regime — Eisenstat–Walker's history-based η is
@@ -148,7 +157,9 @@ def pseudo_transient(
         state carried as a paired-f32 DF, inner loop in ``krylov_dtype``
         (defaulted f32), acceptance residual/norm in double-word VPU
         arithmetic, f64 in/out at the boundary — Ψtc at 1e-8 on TPU with
-        no emulated-f64 op in the loop.
+        no emulated-f64 op in the loop.  ``floor_rtol`` clamps the
+        tolerance to the measured df32 representation floor exactly as in
+        the Newton drivers (``info.floor_limited`` reports it).
 
     Returns ``(u, NewtonInfo)``; ``info.history`` is the padded
     ``‖F‖``-trace, ``info.stats.outer_iterations`` the number of pseudo-time
@@ -177,6 +188,7 @@ def pseudo_transient(
                     forcing=forcing, algo=algo, M=M, N=N,
                     krylov_kwargs=krylov_kwargs, space=space,
                     krylov_dtype=krylov_dtype, residual_df=residual_df,
+                    floor_rtol=floor_rtol,
                 )
             )(u0)
         out_f64 = any(
@@ -192,6 +204,17 @@ def pseudo_transient(
         n_res0 = space.norm(res0)
     dtype = n_res0.dtype
     tol = tol_rel * n_res0 + tol_abs
+    floor_limited = jnp.zeros((), bool)
+    if residual_df is not None and floor_rtol is not None:
+        from .newton import _cast_floating
+
+        u_low0 = jax.tree.map(lambda l: l.astype(krylov_dtype), u0.hi)
+        floor0 = _dd.floor_estimate(
+            F, u_low0, _cast_floating(p, krylov_dtype), space=space
+        )
+        tol_clamped = jnp.maximum(tol, jnp.asarray(floor_rtol, dtype) * floor0)
+        floor_limited = tol_clamped > tol
+        tol = tol_clamped
     eta0 = jnp.asarray(forcing.initial() if forcing is not None else 0.0, dtype)
     delta0_ = jnp.asarray(delta0, dtype)
     hist0 = jnp.full((max_steps + 2,), jnp.nan, dtype).at[0].set(n_res0)
@@ -257,6 +280,7 @@ def pseudo_transient(
         stats=stats,
         t=jnp.zeros((), dtype),
         history=fin.hist,
+        floor_limited=floor_limited,
     )
     if residual_df is not None:
         u_out = _dd.df_to_f64(fin.u) if out_f64 else fin.u.hi

@@ -50,7 +50,7 @@ __all__ = [
     "df_from_f64", "df_to_f64", "df_from_f32", "tree_add_f32",
     "add", "add_f32", "sub", "neg", "mul", "mul_f32", "exp", "norm_hi",
     "df_map", "shift", "neighbor_sum", "scale_pow2", "scale_const",
-    "scaled_exp", "df_matvec", "selfcheck",
+    "scaled_exp", "df_matvec", "selfcheck", "floor_estimate",
 ]
 
 
@@ -399,6 +399,78 @@ def selfcheck() -> bool:
     b = (xn * c2).astype(np.float32).astype(np.float64)
     got = np.asarray(s_j).astype(np.float64) + np.asarray(e_j).astype(np.float64)
     return bool(np.max(np.abs(got - (a + b))) < 0.01 * np.max(np.abs(b)))
+
+
+# Measured on the 2-D Bratu flagship (real v5e, benchmarks/floor_probe.py):
+# the random-sign granularity response ‖J·(±ε_dd|u|)‖ sits at a stable
+# 6.28–6.38× the solve's true ‖F‖ plateau across 512²–4096² (an 8× size
+# span); dividing by 4 places the estimate at ~1.6× the plateau — above the
+# plateau's ±2% run-to-run jitter, below any practical target.
+_RND_PROBE_CALIBRATION = 4.0
+
+
+def floor_estimate(F, u_hi, p=None, space=None):
+    """Measured acceptance floor of a df32-carried solve at state ``u_hi``.
+
+    The smallest ‖F‖ a df32-carried Newton iteration can reliably reach is
+    set by the *state-representation granularity*: the pair ``(hi, lo)``
+    resolves ``u`` to one ulp of the lo word, ε_dd·|u| ≈ 2⁻⁴⁷·|u|, and the
+    solve's computed residual carries arithmetic noise at the image of that
+    granularity under the Jacobian.  Measured as one forward-mode tangent
+    of the *plain* residual at a deterministic random-sign perturbation:
+
+        floor ≈ ‖J(u) · (±ε_dd·|u|)‖ / 4      (one ``jax.jvp``)
+
+    Design notes, all measured (benchmarks/floor_probe.py, real v5e):
+
+    * NOT by differencing two df32 residual evaluations — inside the
+      whole-solve program the two evals fuse differently and their hi
+      words jitter at the f32 ulp of ‖F‖ (measured 3.2e-7 vs the true
+      1.9e-12 on the heat2d step residual).  The tangent is computed at
+      uniform tiny scale with ε₃₂ *relative* accuracy.
+    * Random signs, NOT a coherent +ε_dd·|u| tangent: the coherent mode is
+      smooth, the stencil cancels it to ~ε_dd·Δx²-level and its squared
+      norm underflows f32 (measured exactly 0.0 at ≥1024²).  The
+      random-sign response models the incoherent per-entry rounding the
+      df32 arithmetic actually commits.
+    * Calibration: the probe/plateau ratio measured 6.28–6.38× across
+      512²–4096² flagship solves driven 15 outers past any tolerance
+      (plateaus 1.148e-12 / 2.282e-12 / 4.638e-12 / 9.130e-12 ∝ n — the
+      ε_dd·‖u‖ granularity law, docs/design.md "The df32 floor");
+      ``/_RND_PROBE_CALIBRATION`` places the estimate at ~1.6× the
+      plateau.  Calibrated on the 5-point-stencil family; for
+      near-identity step residuals (implicit time steps) the floor is
+      orders below any stepping tolerance and the clamp is a no-op.
+
+    A zero state has zero granularity everywhere — the probe returns 0 and
+    the driver clamp degrades to a no-op; estimate at a scaled state (or
+    widen ``tol_abs``) for all-zero starts.
+
+    Parameters: ``F`` — the plain residual ``F(u, p)`` in the Krylov dtype
+    (the drivers pass their inner-loop residual with params already cast);
+    ``u_hi`` — the state's hi-word tree (Krylov dtype); ``space`` —
+    reduction space for the norm (psum point under sharding), default ℓ².
+    The sign pattern hashes each leaf's *local* flat index — under
+    shard_map the local pattern differs from the single-device one, which
+    moves the estimate only statistically (the norm concentrates).
+    """
+    def sign_leaf(h):
+        i = lax.iota(jnp.int32, h.size).reshape(h.shape)
+        hsh = (i * 2654435761 + 40503) & 0xFFFF
+        return jnp.where(hsh % 2 == 0, 1.0, -1.0).astype(h.dtype)
+
+    delta = jax.tree.map(
+        lambda h: jnp.abs(h) * jnp.asarray(2.0 ** -47, h.dtype) * sign_leaf(h),
+        u_hi,
+    )
+    _, jd = jax.jvp(lambda uu: F(uu, p), (u_hi,), (delta,))
+    if space is None:
+        from .tree import tree_norm
+
+        nrm = tree_norm(jd)
+    else:
+        nrm = space.norm(jd)
+    return nrm / _RND_PROBE_CALIBRATION
 
 
 def norm_hi(r: DF):

@@ -354,7 +354,7 @@ def _info_structure():
     from .newton import NewtonInfo, Stats
 
     return NewtonInfo(
-        solved=0, stats=Stats(0, 0, 0.0), t=0.0, history=0.0
+        solved=0, stats=Stats(0, 0, 0.0), t=0.0, history=0.0, floor_limited=0
     )
 
 

@@ -68,6 +68,9 @@ class NewtonInfo(NamedTuple):
     stats: Stats
     t: Any
     history: Any = None  # residual-norm trace (jit driver / opt-in)
+    floor_limited: Any = False  # df32 path: tol was clamped to the measured
+    #   representation floor (floor_rtol); ``solved`` then certifies the
+    #   floor-clamped tolerance, the tightest this state encoding can reach
 
 
 # Krylov.jl's inner GMRES default is NON-restarted: the workspace grows until
@@ -231,6 +234,7 @@ def newton_krylov(
     krylov_dtype=None,
     precond_refresh: str = "outer",
     residual_df: Optional[Callable] = None,
+    floor_rtol: Optional[float] = 2.0,
 ):
     """Solve F(u, p) = 0 by inexact Newton–Krylov (reference semantics).
 
@@ -250,7 +254,9 @@ def newton_krylov(
     mixed-precision story: state carried as a df32 pair, inner loop in
     ``krylov_dtype`` (default f32), acceptance residual in double-word
     arithmetic.  Excludes ``residual_dtype``/``linesearch``; the callback
-    receives the hi words.
+    receives the hi words.  ``floor_rtol`` clamps the tolerance to the
+    measured df32 representation floor exactly as in
+    :func:`newton_krylov_jit` (``info.floor_limited`` reports it).
 
     Returns ``(u, NewtonInfo)``.
     """
@@ -292,6 +298,15 @@ def newton_krylov(
             callback(u0, res, n_res)
 
     tol = tol_rel * n_res + tol_abs
+    floor_limited = False
+    if residual_df is not None and floor_rtol is not None:
+        u_low0 = _cast(u0.hi, krylov_dtype)
+        floor0 = float(_dd.floor_estimate(
+            F, u_low0, _cast_floating(p, krylov_dtype), space=space
+        ))
+        if floor_rtol * floor0 > tol:
+            tol = floor_rtol * floor0
+            floor_limited = True
     eta = forcing.initial() if forcing is not None else None
 
     if verbose > 0:
@@ -430,7 +445,8 @@ def newton_krylov(
     t = time.perf_counter() - t0
     if residual_df is not None:
         u = _dd.df_to_f64(u) if out_f64 else u.hi
-    return u, NewtonInfo(solved=n_res <= tol, stats=stats, t=t)
+    return u, NewtonInfo(solved=n_res <= tol, stats=stats, t=t,
+                         floor_limited=floor_limited)
 
 
 class NewtonOptions(NamedTuple):
@@ -473,6 +489,7 @@ def newton_krylov_jit(
     krylov_dtype=None,
     residual_df: Optional[Callable] = None,
     precond_refresh: str = "outer",
+    floor_rtol: Optional[float] = 2.0,
 ):
     """Whole-solve-in-one-XLA-program Newton–Krylov.
 
@@ -518,6 +535,21 @@ def newton_krylov_jit(
     Poisson preconditioner depends on J only through mean(diag)), this
     removes the per-outer probe + setup cost (measured ~0.6 ms/outer at
     2048², ~14%% of the flagship solve) at an iteration-count cost of ~0.
+
+    ``floor_rtol`` (df32 path only): make convergence at floor-adjacent
+    tolerances *deterministic*.  The paired-f32 state resolves ``u`` only
+    to ε_dd·|u| ≈ 2⁻⁴⁷·|u|, so ‖F‖ plateaus at the image of that
+    granularity under the Jacobian — measured once at solve start by
+    :func:`~newtonkrylov_tpu.df32.floor_estimate` (one extra residual
+    eval; the probe sits a calibrated ~1.55× above the true plateau).
+    The tolerance is clamped to ``max(tol, floor_rtol · floor)`` and
+    ``info.floor_limited`` reports whether the clamp engaged; without it,
+    a request below the floor burns ``max_niter`` stall outers and
+    whether ``solved`` comes back True is a coin flip of the last bit
+    (measured at 4096²: tol 9.34e-12 vs plateau 9.13e-12,
+    docs/design.md "The df32 floor").  ``None`` disables (reference-exact
+    tolerance semantics).  A zero ``u0`` has zero granularity — the probe
+    returns 0 and the clamp is a no-op there.
     """
     space = space or EuclideanSpace()
     forcing = _resolve_forcing(forcing)
@@ -551,7 +583,7 @@ def newton_krylov_jit(
                     N=N, krylov_kwargs=krylov_kwargs, linesearch=linesearch,
                     space=space, residual_dtype=residual_dtype,
                     krylov_dtype=krylov_dtype, residual_df=residual_df,
-                    precond_refresh=precond_refresh,
+                    precond_refresh=precond_refresh, floor_rtol=floor_rtol,
                 )
             )(u0)
         out_f64 = any(
@@ -577,6 +609,15 @@ def newton_krylov_jit(
         n_res0 = outer_norm(u0)
     dtype = n_res0.dtype
     tol = tol_rel * n_res0 + tol_abs
+    floor_limited = jnp.zeros((), bool)
+    if residual_df is not None and floor_rtol is not None:
+        u_low0 = jax.tree.map(lambda l: l.astype(krylov_dtype), u0.hi)
+        floor0 = _dd.floor_estimate(
+            F, u_low0, _cast_floating(p, krylov_dtype), space=space
+        )
+        tol_clamped = jnp.maximum(tol, jnp.asarray(floor_rtol, dtype) * floor0)
+        floor_limited = tol_clamped > tol
+        tol = tol_clamped
     eta0 = jnp.asarray(forcing.initial() if forcing is not None else 0.0, dtype)
 
     hist0 = jnp.full((max_niter + 2,), jnp.nan, dtype).at[0].set(n_res0)
@@ -670,6 +711,7 @@ def newton_krylov_jit(
         stats=stats,
         t=jnp.zeros((), dtype),  # wall-clock is a host concept; time outside jit
         history=fin.hist,
+        floor_limited=floor_limited,
     )
     if residual_df is not None:
         u_out = _dd.df_to_f64(fin.u) if out_f64 else fin.u.hi

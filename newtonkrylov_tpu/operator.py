@@ -148,21 +148,28 @@ class ShiftedOperator(LinearOperator):
         self.alpha = jnp.asarray(alpha)  # accept Python floats per the docstring
 
     # factory pass-throughs ---------------------------------------------------
+    # Guarded: the wrapped operand is usually a JacobianOperator, but any
+    # square LinearOperator is a legal shift target (e.g. a
+    # spectral.FnOperator).  Probe-style consumers only need an example
+    # input, so ``u``/``example_in`` fall back to whatever the operand
+    # exposes; the remaining attributes return None rather than raising
+    # AttributeError mid-trace (ADVICE r4).
     @property
     def u(self):
-        return self.J.u
+        u = getattr(self.J, "u", None)
+        return u if u is not None else getattr(self.J, "example_in", None)
 
     @property
     def res(self):
-        return self.J.res
+        return getattr(self.J, "res", None)
 
     @property
     def F(self):
-        return self.J.F
+        return getattr(self.J, "F", None)
 
     @property
     def p(self):
-        return self.J.p
+        return getattr(self.J, "p", None)
 
     def mv(self, v):
         return jax.tree.map(
@@ -194,7 +201,7 @@ class ShiftedOperator(LinearOperator):
 
     @property
     def example_in(self):
-        return self.J.u
+        return self.u
 
     def materialize(self):
         return materialize_dense(self)

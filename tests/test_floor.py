@@ -1,0 +1,144 @@
+"""Floor-aware df32 acceptance (VERDICT r4 next #1 and #8).
+
+The paired-f32 state resolves u only to ε_dd·|u|, so a df32 solve's ‖F‖
+plateaus at the image of that granularity under the Jacobian — measured on
+real v5e at 1.148e-12 / 2.282e-12 / 4.638e-12 / 9.130e-12 for the 512²–4096²
+Bratu flagship (∝ n; benchmarks/floor_probe.py).  A tolerance at/below the
+plateau used to burn max_niter stall outers with a coin-flip ``solved``
+(docs/design.md "The df32 floor").  These tests pin the library answer:
+:func:`newtonkrylov_tpu.df32.floor_estimate` (one jvp probe, calibrated
+~1.6× above the plateau) and the drivers' ``floor_rtol`` tolerance clamp
+with its ``info.floor_limited`` report.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from newtonkrylov_tpu import df32 as dd
+from newtonkrylov_tpu import newton_krylov, newton_krylov_jit
+from newtonkrylov_tpu.continuation import pseudo_transient
+from newtonkrylov_tpu.problems import bratu2d
+
+
+def _probe(n):
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float32)
+    return float(jax.jit(
+        lambda u: dd.floor_estimate(bratu2d.residual_scaled, u, p)
+    )(u0))
+
+
+def test_floor_estimate_scaling_law():
+    """floor ∝ n for the 2-D stencil family: the ε_dd·‖u‖-granularity law.
+
+    ‖u‖₂ of a fixed-amplitude field grows ∝ n (n² entries), and the probe is
+    linear in the granularity δ = ε_dd·|u| — so quadrupling the side must
+    ~quadruple the estimate.  This is the scaling pin behind the design.md
+    prediction of where a given tol_rel stops being reachable single-chip
+    (measured plateaus double per size doubling, 512²→4096²).
+    """
+    f32, f128 = _probe(32), _probe(128)
+    assert f32 > 0 and f128 > 0
+    ratio = f128 / f32
+    assert 2.5 < ratio < 6.5  # ∝ n ⇒ 4, with sign-pattern statistics slack
+
+
+def test_floor_estimate_zero_state_is_zero():
+    p = bratu2d.default_config(32, lam=5.0)
+    u0 = jnp.zeros((32, 32), jnp.float32)
+    assert _probe(32) > 0
+    assert float(dd.floor_estimate(bratu2d.residual_scaled, u0, p)) == 0.0
+
+
+def _solve(n, tol_abs, floor_rtol, u0=None, max_niter=12):
+    p = bratu2d.default_config(n, lam=5.0)
+    if u0 is None:
+        u0 = bratu2d.initial_guess(n, dtype=jnp.float64)
+    return newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p,
+        algo="cg", tol_rel=0.0, tol_abs=tol_abs,
+        krylov_dtype=jnp.float32,
+        residual_df=bratu2d.residual_scaled_df,
+        max_niter=max_niter, floor_rtol=floor_rtol,
+    )
+
+
+def test_sub_floor_tolerance_is_deterministic_with_clamp():
+    """A request BELOW the representable floor converges deterministically:
+    the clamp engages (floor_limited=True), the solve stops as soon as the
+    floor-clamped tolerance is met instead of stalling to max_niter, and
+    repeats from perturbed starts agree.  Without the clamp the same request
+    burns every outer and reports failure."""
+    n = 48
+    # way below any df32 floor at this size (plateau ~1e-13): unreachable
+    tol_abs = 1.0e-16
+
+    u1, i1 = _solve(n, tol_abs, floor_rtol=2.0)
+    assert bool(i1.floor_limited)
+    assert bool(i1.solved)
+    outers = int(i1.stats.outer_iterations)
+    assert outers < 12  # no stall-to-max_niter burn
+
+    # determinism across last-bit start perturbations
+    u0b = bratu2d.initial_guess(n, dtype=jnp.float64) * (1.0 + 1e-9)
+    u2, i2 = _solve(n, tol_abs, floor_rtol=2.0, u0=u0b)
+    assert bool(i2.solved) and bool(i2.floor_limited)
+    assert abs(int(i2.stats.outer_iterations) - outers) <= 1
+
+    # the unclamped driver documents the old coin-flip regime: all outers
+    # burned, tolerance unmet
+    u3, i3 = _solve(n, tol_abs, floor_rtol=None)
+    assert not bool(i3.floor_limited)
+    assert int(i3.stats.outer_iterations) == 13  # max_niter+1 (inclusive bound)
+    assert not bool(i3.solved)
+
+    # the clamped answer is still a true solution to the floor's accuracy
+    r64 = bratu2d.residual_scaled(u1, bratu2d.default_config(n, lam=5.0))
+    assert float(jnp.linalg.norm(r64)) < 1e-11
+
+
+def test_reachable_tolerance_untouched_by_clamp():
+    """At tolerances above the floor the guard must be a no-op: identical
+    history and floor_limited=False — reference-exact semantics preserved."""
+    n = 48
+    ua, ia = _solve(n, 1.0e-8, floor_rtol=2.0)
+    ub, ib = _solve(n, 1.0e-8, floor_rtol=None)
+    assert bool(ia.solved) and bool(ib.solved)
+    assert not bool(ia.floor_limited)
+    ha, hb = np.asarray(ia.history), np.asarray(ib.history)
+    np.testing.assert_array_equal(ha[np.isfinite(ha)], hb[np.isfinite(hb)])
+
+
+def test_host_driver_floor_clamp():
+    n = 48
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float64)
+    u, info = newton_krylov(
+        bratu2d.residual_scaled, u0, p,
+        algo="cg", tol_rel=0.0, tol_abs=1.0e-16,
+        residual_df=bratu2d.residual_scaled_df, max_niter=12,
+    )
+    assert info.floor_limited is True
+    assert bool(info.solved)
+    assert int(info.stats.outer_iterations) < 12
+
+
+def test_ptc_floor_clamp():
+    # u0 at solution amplitude: the probe measures granularity AT the probed
+    # state, so a start 10× below the solution's scale under-estimates the
+    # floor ~10× (documented in floor_estimate; measured here: plateau
+    # 8e-14 vs a 1.2e-14 probe from a 0.1-scaled start)
+    n = 32
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float64)
+    u, info = pseudo_transient(
+        lambda u, pp: -bratu2d.residual_scaled(u, pp), u0, p,
+        delta0=float((n + 1) ** 2), tol_rel=0.0, tol_abs=1.0e-16,
+        max_steps=40, krylov_dtype=jnp.float32,
+        residual_df=lambda ud, pp: dd.neg(bratu2d.residual_scaled_df(ud, pp)),
+    )
+    assert bool(info.floor_limited)
+    assert bool(info.solved)
+    assert int(info.stats.outer_iterations) < 40
