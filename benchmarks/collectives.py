@@ -147,6 +147,17 @@ def config_traceable(name: str, mesh, n: int):
             M=fft_poisson(axis_names=axes, scope="global", precision="high"),
             precond_refresh="once", residual_df=F_df_local, tol_rel=1e-6,
         )
+    elif name == "gmres_adi_blocked":
+        # the convection-regime recipe (GMRES + block-ADI) with active-basis
+        # blocked CGS2: chunk projections accumulate locally, ONE deferred
+        # psum per pass completes them (spaces.reduce_rows) — the chunk loop
+        # itself (while_depth 4) must be collective-free
+        from newtonkrylov_tpu.precond import adi
+
+        kwargs.update(
+            algo="gmres", M=adi(2, axis_names=axes), forcing=None,
+            krylov_kwargs={"restart": None, "itmax": 64, "ortho_block": 16},
+        )
     else:
         raise ValueError(name)
 
@@ -162,7 +173,8 @@ def config_traceable(name: str, mesh, n: int):
     return wrapped, (u0_sh,)
 
 
-CONFIGS = ("cg_plain", "cg_cheb16", "cg_block_mg", "production_dst_df32")
+CONFIGS = ("cg_plain", "cg_cheb16", "cg_block_mg", "production_dst_df32",
+           "gmres_adi_blocked")
 LEVEL_LABELS = {0: "per_solve_setup", 1: "per_newton_outer", 2: "per_krylov_inner"}
 
 
@@ -180,7 +192,14 @@ def measure(n: int = 64, mesh_shape=(4, 2)) -> dict:
         inner = int(info.stats.inner_iterations)
         totals = collections.Counter()
         for lvl, cnt in levels.items():
-            mult = {0: 1, 1: outer}.get(lvl, inner)
+            # GMRES nests one extra while (restart cycles): level 2 runs
+            # once per cycle ≈ once per outer under restart=None, and the
+            # per-inner level is 3 (the blocked-ortho chunk loop at depth 4
+            # is collective-free — pinned in tests/test_scaling_structure).
+            if name.startswith("gmres"):
+                mult = {0: 1, 1: outer, 2: outer}.get(lvl, inner)
+            else:
+                mult = {0: 1, 1: outer}.get(lvl, inner)
             for k, v in cnt.items():
                 totals[k] += mult * v
         out[name] = {

@@ -59,6 +59,19 @@ class VectorSpace:
         """Zero out entries that do not belong to the space (ghost cells)."""
         return x
 
+    def reduce_rows(self, h):
+        """Complete a vector of LOCALLY-accumulated inner products.
+
+        The seam that lets blocked orthogonalization defer its reduction:
+        chunked basis projections accumulate into a full-length ``h``
+        locally (plain ``tree_project_rows`` per chunk, no communication),
+        then this completes ALL of them in one shot — identity here, a
+        single psum under :class:`ShardedSpace`.  One reduction round per
+        CGS2 pass regardless of chunk count, same budget as the unblocked
+        ``project_rows`` (tests/test_scaling_structure.py pins it).
+        """
+        return h
+
     def size_multiplier(self):
         """Global size = local tree_size × this.  1 except under sharding;
         solvers use it for iteration-count defaults (itmax = 2·global size —
@@ -134,6 +147,9 @@ class ShardedSpace(VectorSpace):
 
     def mask_tree(self, x):
         return self._local().mask_tree(x)
+
+    def reduce_rows(self, h):
+        return jax.lax.psum(h, tuple(self.axis_names))
 
     def size_multiplier(self):
         mult = 1

@@ -244,6 +244,37 @@ def test_block_adi_sharded_convection_dominated():
     assert float(jnp.max(jnp.abs(u_sh - us))) < 1e-9
 
 
+def test_block_adi_sharded_with_ortho_block_matches_unblocked():
+    """The convection-regime traffic optimization now composes with
+    sharding (VERDICT r4 next #3): GMRES + block-ADI with active-basis
+    blocked CGS2 gives the SAME iteration counts and solution as the
+    unblocked sharded solve — the deferred-psum completion is the same
+    arithmetic (per-row dots are unchanged; only the reduction is
+    batched)."""
+    n = 64
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(convdiff2d.residual_scaled_padded,
+                                  ("i", "j"), "dirichlet")
+
+    def run(extra_krylov):
+        kk = {"restart": None, "itmax": 300, **extra_krylov}
+        return newton_krylov_sharded(
+            F_local, u0, p, mesh, P("i", "j"),
+            newton_kwargs=dict(algo="gmres", tol_rel=1e-10, forcing=None,
+                               max_niter=15, M=adi(4, axis_names=("i", "j")),
+                               krylov_kwargs=kk),
+            p_spec=convdiff2d.Params(dx=P(), c=P(), b=P("i", "j")))
+
+    u_ref, info_ref = run({})
+    u_blk, info_blk = run({"ortho_block": 32})
+    assert bool(info_blk.solved)
+    assert int(info_blk.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+    assert int(info_blk.stats.inner_iterations) == int(info_ref.stats.inner_iterations)
+    np.testing.assert_allclose(np.asarray(u_blk), np.asarray(u_ref), atol=1e-11)
+
+
 def test_adi_composes_with_df32_refinement():
     """Regression: the ADI ρ-cycle must stay in the probe dtype — under x64
     a stray NumPy f64 scalar promoted every preconditioned Krylov vector to

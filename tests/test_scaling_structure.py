@@ -125,3 +125,29 @@ def test_full_solve_per_inner_collective_counts():
         assert per_inner == want, (name, per_inner)
         for lvl in levels.values():
             assert "all_gather" not in lvl and "all_to_all" not in lvl, (name, levels)
+
+
+def test_sharded_ortho_block_budget_unchanged():
+    """Blocked CGS2 under a ShardedSpace keeps the unblocked psum budget
+    (VERDICT r4 next #3): GMRES's per-inner level (while depth 3 — Newton →
+    restart cycle → Arnoldi step) is 4 ppermutes (matvec exchange) + 3
+    psums (two projection passes + the new-column norm), with chunk
+    projections accumulated LOCALLY and completed by ONE deferred psum per
+    pass — so the chunk loop itself (while depth 4, data-dependent trip
+    count) must contain ZERO collectives."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "benchmarks"))
+    try:
+        from collectives import collective_counts_by_level, config_traceable
+    finally:
+        sys.path.pop(0)
+
+    mesh = make_mesh((4, 2), ("i", "j"))
+    fn, args = config_traceable("gmres_adi_blocked", mesh, 32)
+    levels = collective_counts_by_level(fn, *args)
+    assert levels[3] == {"ppermute": 4, "psum": 3}, levels
+    assert not levels.get(4), levels  # chunk loop: collective-free
+    for lvl in levels.values():
+        assert "all_gather" not in lvl and "all_to_all" not in lvl, levels
