@@ -1,4 +1,4 @@
-"""Weak-scaling evidence harness (VERDICT r1 weak #6) → SCALING_r04.json.
+"""Weak-scaling evidence harness (VERDICT r1 weak #6) → SCALING_r05.json.
 
 Runs the halo-exchange stencil-JVP weak-scaling sweep over virtual CPU
 device meshes (8/16/32 forced host devices; each device count needs its own
@@ -18,7 +18,7 @@ per local block against v5e ICI/HBM constants, predicting ≥95% overlapped
 efficiency at 2048² local blocks through 256 chips) plus the
 mesh-independent collective-structure tests (tests/test_scaling_structure.py).
 
-Usage: python benchmarks/run_scaling.py  (writes SCALING_r04.json at repo
+Usage: python benchmarks/run_scaling.py  (writes SCALING_r05.json at repo
 root)
 """
 
@@ -114,13 +114,26 @@ def main():
     results["measured_collectives"] = coll
     # matvec-equivalents of local compute per inner: the block-MG V-cycle
     # costs ~(nu smooth + residual + transfers) x (4/3 levels) ~ 5 stencil
-    # applies of local work
-    equiv = {"cg_plain": 1.0, "cg_cheb16": 17.0, "cg_block_mg": 5.0,
-             "production_dst_df32": 1.0}
+    # applies of local work; block-ADI(2) = 4 tridiag batch-solves + 4
+    # stencil applies + active-basis CGS2 traffic ~ 8; pipelined CG carries
+    # 4 extra vector recurrences ~ 2 matvec-equivalents of HBM traffic
+    equiv = {"cg_plain": 1.0, "cg_pipelined": 2.0, "cg_cheb16": 17.0,
+             "cg_block_mg": 5.0, "production_dst_df32": 1.0,
+             "gmres_adi_blocked": 8.0}
+    # pipelined CG's single fused psum is data-independent of the matvec +
+    # preconditioner: model it as overlappable (scaling_model docstring)
+    overlap = {"cg_pipelined": True}
+
+    def per_inner_level(cfg):
+        # GMRES nests one extra while (restart cycles): its per-inner level
+        # is while depth 3; CG's is depth 2 ("per_krylov_inner")
+        return (cfg["levels"].get("while_depth_3")
+                or cfg["levels"]["per_krylov_inner"])
+
     results["model_from_measured"] = [
         dict(config=name, **measured_config_point(
-            b, n, coll["configs"][name]["levels"]["per_krylov_inner"],
-            equiv[name]))
+            b, n, per_inner_level(coll["configs"][name]), equiv[name],
+            overlap_reductions=overlap.get(name, False)))
         for name in coll["configs"]
         for b in (512, 1024, 2048)
         for n in (4, 16, 64, 256)
@@ -148,7 +161,7 @@ def main():
     results["points_2d"].extend(pts2)
     print(f"2d mesh 2x4: {pts2[0]['matvecs_per_s']:.0f}/s")
 
-    out = os.path.join(REPO, "SCALING_r04.json")
+    out = os.path.join(REPO, "SCALING_r05.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out}")

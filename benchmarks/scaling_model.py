@@ -135,7 +135,8 @@ def dst_apply_point(b: int, n_chips: int) -> dict:
 
 
 def measured_config_point(b: int, n_chips: int, per_inner: dict,
-                          matvec_equiv: float) -> dict:
+                          matvec_equiv: float,
+                          overlap_reductions: bool = False) -> dict:
     """Per-Krylov-inner-iteration time budget from *measured* collective
     counts (benchmarks/collectives.py; VERDICT r3 next #2) instead of the
     analytic amortization assumption of :func:`model_point`.
@@ -150,6 +151,13 @@ def measured_config_point(b: int, n_chips: int, per_inner: dict,
     psum_scatter at its (n × b)-partial wire time; the DST's distributed
     matmul compute is charged per psum_scatter/4 applies at the measured
     single-chip roofline rate.
+
+    ``overlap_reductions=True`` models an iteration whose reduction is
+    data-INDEPENDENT of its matvec + preconditioner apply — pipelined CG
+    (``solvers.cg(pipeline=True)``, one fused psum per inner issued before
+    the heavy ops): the psum tree latency then rides inside
+    ``max(t_compute, ...)`` instead of adding to the critical path.
+    Plain CG's pAp psum gates α and cannot overlap (the default).
     """
     import math
 
@@ -167,11 +175,15 @@ def measured_config_point(b: int, n_chips: int, per_inner: dict,
         per_rs = ((p - 1) / p) * n * b * 4 / BW_ICI + max(p - 1, 0) * T_LAT
         t_rs = n_rs * per_rs
         tc += (n_rs / 4.0) * T_DST_2048 * (b / 2048.0) ** 3 * p  # DST matmuls
-    total = max(tc, tx) + tr + t_rs
+    if overlap_reductions:
+        total = max(tc, tx, tr) + t_rs
+    else:
+        total = max(tc, tx) + tr + t_rs
     return {
         "local_block": b, "n_chips": n_chips,
         "per_inner_counts": dict(per_inner),
         "matvec_equiv": matvec_equiv,
+        "overlap_reductions": overlap_reductions,
         "t_compute_us": tc * 1e6, "t_exchange_us": tx * 1e6,
         "t_reduce_us": tr * 1e6, "t_reduce_scatter_us": t_rs * 1e6,
         "eff_overlapped": tc / total,

@@ -428,11 +428,13 @@ def floor_estimate(F, u_hi, p=None, space=None):
       words jitter at the f32 ulp of ‖F‖ (measured 3.2e-7 vs the true
       1.9e-12 on the heat2d step residual).  The tangent is computed at
       uniform tiny scale with ε₃₂ *relative* accuracy.
-    * Random signs, NOT a coherent +ε_dd·|u| tangent: the coherent mode is
-      smooth, the stencil cancels it to ~ε_dd·Δx²-level and its squared
-      norm underflows f32 (measured exactly 0.0 at ≥1024²).  The
-      random-sign response models the incoherent per-entry rounding the
-      df32 arithmetic actually commits.
+    * Alternating signs (``(−1)^flat_index``), NOT a coherent +ε_dd·|u|
+      tangent: the coherent mode is smooth, the stencil cancels it to
+      ~ε_dd·Δx²-level and its squared norm underflows f32 (measured
+      exactly 0.0 at ≥1024²).  The oscillatory mode models the incoherent
+      per-entry rounding the df32 arithmetic actually commits — without
+      cancellation and without the checkerboard mode's 2× over-excitation
+      (checkerboard measured 12.8× the plateau; this pattern 6.3×).
     * Calibration: the probe/plateau ratio measured 6.28–6.38× across
       512²–4096² flagship solves driven 15 outers past any tolerance
       (plateaus 1.148e-12 / 2.282e-12 / 4.638e-12 / 9.130e-12 ∝ n — the
@@ -450,14 +452,13 @@ def floor_estimate(F, u_hi, p=None, space=None):
     (the drivers pass their inner-loop residual with params already cast);
     ``u_hi`` — the state's hi-word tree (Krylov dtype); ``space`` —
     reduction space for the norm (psum point under sharding), default ℓ².
-    The sign pattern hashes each leaf's *local* flat index — under
-    shard_map the local pattern differs from the single-device one, which
-    moves the estimate only statistically (the norm concentrates).
+    The sign pattern alternates along each leaf's *local* flat index —
+    under shard_map the local pattern differs from the single-device one,
+    which moves the estimate only statistically (the norm concentrates).
     """
     def sign_leaf(h):
         i = lax.iota(jnp.int32, h.size).reshape(h.shape)
-        hsh = (i * 2654435761 + 40503) & 0xFFFF
-        return jnp.where(hsh % 2 == 0, 1.0, -1.0).astype(h.dtype)
+        return jnp.where(i % 2 == 0, 1.0, -1.0).astype(h.dtype)
 
     delta = jax.tree.map(
         lambda h: jnp.abs(h) * jnp.asarray(2.0 ** -47, h.dtype) * sign_leaf(h),

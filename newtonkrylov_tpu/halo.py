@@ -303,6 +303,7 @@ def newton_krylov_sharded(
     axis_names: Optional[Sequence[str]] = None,
     newton_kwargs: Optional[dict] = None,
     p_spec: Optional[Any] = None,
+    driver: Optional[Callable] = None,
 ):
     """Run a full Newton–Krylov solve as one SPMD program over ``mesh``.
 
@@ -319,10 +320,19 @@ def newton_krylov_sharded(
     *global* shape — fine for scalars/replicated data.  For per-gridpoint
     parameter fields pass ``p_spec`` (a pytree of PartitionSpecs congruent
     with ``p``) and the fields are sharded like the state instead.
+
+    ``driver`` selects the whole-solve-in-one-program driver to shard:
+    :func:`~newtonkrylov_tpu.newton.newton_krylov_jit` (default) or
+    :func:`~newtonkrylov_tpu.continuation.pseudo_transient` — both return
+    ``(u, NewtonInfo)`` and take ``space=``, so globalized Ψtc solves ride
+    the identical SPMD wrapping (``newton_kwargs`` then carries the PTC
+    options: ``delta0``, ``max_steps``, …).
     """
     axis_names = tuple(axis_names if axis_names is not None else mesh.axis_names)
     newton_kwargs = dict(newton_kwargs or {})
     space = ShardedSpace(axis_names=axis_names)
+    if driver is None:
+        driver = newton_krylov_jit
 
     scalar_spec = P()  # stats/history are identical on all devices
     info_specs = jax.tree.map(lambda _: scalar_spec, _info_structure())
@@ -330,7 +340,7 @@ def newton_krylov_sharded(
 
     if p_spec is None:
         def local_solve(u0_local):
-            return newton_krylov_jit(F_local, u0_local, p, space=space, **newton_kwargs)
+            return driver(F_local, u0_local, p, space=space, **newton_kwargs)
 
         wrapped = jax.shard_map(
             local_solve, mesh=mesh, in_specs=(in_spec,),
@@ -339,7 +349,7 @@ def newton_krylov_sharded(
         return jax.jit(wrapped)(u0_sharded)
 
     def local_solve_p(u0_local, p_local):
-        return newton_krylov_jit(F_local, u0_local, p_local, space=space, **newton_kwargs)
+        return driver(F_local, u0_local, p_local, space=space, **newton_kwargs)
 
     wrapped = jax.shard_map(
         local_solve_p, mesh=mesh, in_specs=(in_spec, p_spec),

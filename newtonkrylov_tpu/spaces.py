@@ -55,6 +55,17 @@ class VectorSpace:
         """
         return jnp.stack([self.dot(x1, y1), self.dot(x2, y2)])
 
+    def dot_stack(self, pairs):
+        """k independent inner products as one (k,)-reduction round.
+
+        The generalization of :meth:`dot2` that pipelined CG's fused
+        seven-dot round rides (``solvers.cg(pipeline=True)``): a (k,)
+        allreduce has the same tree latency as a scalar one, so ALL of an
+        iteration's scalars cost one round.  ``pairs``: iterable of
+        ``(x, y)`` pytrees.
+        """
+        return jnp.stack([self.dot(x, y) for x, y in pairs])
+
     def mask_tree(self, x):
         """Zero out entries that do not belong to the space (ghost cells)."""
         return x
@@ -144,6 +155,11 @@ class ShardedSpace(VectorSpace):
         loc = self._local()
         pair = jnp.stack([loc.dot(x1, y1), loc.dot(x2, y2)])
         return jax.lax.psum(pair, tuple(self.axis_names))
+
+    def dot_stack(self, pairs):
+        loc = self._local()
+        stacked = jnp.stack([loc.dot(x, y) for x, y in pairs])
+        return jax.lax.psum(stacked, tuple(self.axis_names))
 
     def mask_tree(self, x):
         return self._local().mask_tree(x)

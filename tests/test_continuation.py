@@ -251,6 +251,56 @@ def test_ptc_sharded_parity():
     np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
 
 
+def test_ptc_through_newton_krylov_sharded_driver_seam():
+    """The SPMD wrapper's driver= seam (round 5): pseudo_transient rides
+    newton_krylov_sharded's exact wrapping — the configuration
+    __graft_entry__.dryrun_multichip certifies."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 devices")
+    from jax.sharding import PartitionSpec as P
+
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.halo import (
+        make_mesh, newton_krylov_sharded, sharded_residual_2d,
+    )
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 32
+    p = bratu2d.default_config(n, lam=6.0)
+    u0 = bratu2d.initial_guess(n)
+    d0 = float((n + 1) ** 2)
+    axes = ("i", "j")
+    mesh = make_mesh((2, 2), axes)
+
+    def neg_padded(up, pp):
+        v = up[1:-1, 1:-1]
+        stencil = (up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:]
+                   + up[1:-1, :-2] - 4.0 * v)
+        return -(stencil + (pp.dx * pp.dx) * pp.lam * jnp.exp(v))
+
+    F_local = sharded_residual_2d(neg_padded, axes, "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        driver=pseudo_transient,
+        newton_kwargs=dict(
+            algo="gmres", tol_rel=1e-10, delta0=d0, max_steps=60,
+            M=fft_poisson(axis_names=axes, scope="global"),
+            krylov_kwargs={"restart": 100},
+        ),
+    )
+    assert bool(info_sh.solved)
+
+    negF = lambda u, pp: -bratu2d.residual_scaled(u, pp)  # noqa: E731
+    u_ref, info_ref = pseudo_transient(
+        negF, u0, p, algo="gmres", tol_rel=1e-10, M=fft_poisson(),
+        delta0=d0, max_steps=60,
+    )
+    assert int(info_sh.stats.outer_iterations) == int(info_ref.stats.outer_iterations)
+    np.testing.assert_allclose(np.asarray(u_sh), np.asarray(u_ref), atol=1e-9)
+
+
 def test_ptc_krylov_dtype_refinement():
     # f32 inner loop, f64 state — the mixed-precision seam of the Newton
     # drivers carried over

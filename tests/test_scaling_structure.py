@@ -109,6 +109,9 @@ def test_full_solve_per_inner_collective_counts():
         # matvec exchange = 4 ppermutes; CG = 2 psums (pAp, then the
         # fused post-update (||r||^2, <r,z>) pair via space.dot2)
         "cg_plain": {"ppermute": 4, "psum": 2},
+        # pipelined (Ghysels–Vanroose) CG: ONE fused (3,)-psum per inner,
+        # data-independent of the matvec/preconditioner so it can hide
+        "cg_pipelined": {"ppermute": 4, "psum": 1},
         # + degree x 4 exchange rounds inside the Chebyshev apply,
         # ZERO extra reductions — the communication-avoiding shape
         "cg_cheb16": {"ppermute": 4 + 16 * 4, "psum": 2},

@@ -101,6 +101,86 @@ def test_cg_jacobi_preconditioner():
     np.testing.assert_allclose(res.x, x_true, rtol=1e-7)
 
 
+def test_cg_pipelined_matches_plain():
+    """Ghysels–Vanroose pipelined CG (one fused reduction round per inner,
+    round 5): iteration counts and solutions match plain CG on SPD and
+    negative-definite systems, preconditioned and not — the recurrences are
+    the same Krylov process, only the reduction placement changes."""
+    A, b, x_true = random_system(60, seed=8, spd=True)
+    d = jnp.diag(A)
+    for M in (None, lambda r: r / d):
+        r_plain = cg(lambda v: A @ v, b, M=M, rtol=1e-12)
+        r_pipe = cg(lambda v: A @ v, b, M=M, rtol=1e-12, pipeline=True)
+        assert bool(r_pipe.converged)
+        assert abs(int(r_pipe.niter) - int(r_plain.niter)) <= 2
+        np.testing.assert_allclose(np.asarray(r_pipe.x), np.asarray(r_plain.x),
+                                   atol=1e-8)
+    # negative-definite mirror (the Bratu/heat stencil sign, cf. cg docstring)
+    r_nd = cg(lambda v: -(A @ v), -b, rtol=1e-12, pipeline=True)
+    assert bool(r_nd.converged)
+    np.testing.assert_allclose(np.asarray(r_nd.x), x_true, rtol=1e-7)
+
+
+def test_cg_pipelined_sharded_matches_single_device():
+    """Sharded pipelined CG: one (3,)-psum per inner (the budget pin lives
+    in test_scaling_structure); counts and solution must equal the
+    single-device pipelined solve."""
+    from jax.sharding import PartitionSpec as P
+
+    from newtonkrylov_tpu.halo import make_mesh, shard_array
+    from newtonkrylov_tpu.spaces import ShardedSpace
+
+    rng = np.random.default_rng(13)
+    n = 64
+    D = jnp.asarray(3.0 + rng.random(n))
+    x_true = rng.standard_normal(n)
+    op_global = lambda v: D * v  # noqa: E731
+    b = op_global(jnp.asarray(x_true))
+
+    r_ref = cg(op_global, b, rtol=1e-12, pipeline=True)
+
+    mesh = make_mesh((8,), ("i",))
+    space = ShardedSpace(("i",))
+    nl = n // 8
+
+    def op_local(v):
+        k = jax.lax.axis_index("i")
+        return jax.lax.dynamic_slice_in_dim(D, k * nl, nl) * v
+
+    def solve_local(bl):
+        r = cg(op_local, bl, rtol=1e-12, pipeline=True, space=space,
+               itmax=200)
+        return r.x, r.niter, r.converged
+
+    f = jax.shard_map(
+        solve_local, mesh=mesh, in_specs=(P("i"),),
+        out_specs=(P("i"), P(), P()), check_vma=False,
+    )
+    x_sh, niter_sh, conv_sh = f(shard_array(b, mesh, P("i")))
+    assert bool(conv_sh)
+    assert int(niter_sh) == int(r_ref.niter)
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(r_ref.x),
+                               atol=1e-10)
+
+
+def test_cg_pipelined_in_newton_driver():
+    """pipeline=True flows through krylov_kwargs into the jit Newton driver
+    and reproduces the plain-CG solve on 2-D Bratu."""
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 32
+    p = bratu2d.default_config(n, lam=4.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float64)
+    u_a, i_a = newton_krylov_jit(bratu2d.residual_scaled, u0, p, algo="cg")
+    u_b, i_b = newton_krylov_jit(bratu2d.residual_scaled, u0, p, algo="cg",
+                                 krylov_kwargs={"pipeline": True})
+    assert bool(i_b.solved)
+    assert abs(int(i_b.stats.inner_iterations)
+               - int(i_a.stats.inner_iterations)) <= 3
+    np.testing.assert_allclose(np.asarray(u_b), np.asarray(u_a), atol=1e-9)
+
+
 def test_bicgstab_general():
     A, b, x_true = random_system(40, seed=10)
     res = bicgstab(lambda v: A @ v, b, rtol=1e-10)
