@@ -274,6 +274,7 @@ def main():
     # keeps counts near the full-space ones (334 vs 290 measured) at
     # ~5x less orthogonalization traffic.
     try:
+        from newtonkrylov_tpu.mg import multigrid2d_general
         from newtonkrylov_tpu.precond import adi
         from newtonkrylov_tpu.problems import convdiff2d
 
@@ -281,39 +282,51 @@ def main():
         pc = convdiff2d.default_config(nc, c=25.0, dtype=jnp.float64)
         uc0 = convdiff2d.initial_guess(nc, jnp.float64)
 
-        def solve_adi(u_in):
-            return newton_krylov_jit(
-                convdiff2d.residual_scaled, u_in, pc,
-                algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
-                residual_df=convdiff2d.residual_scaled_df,
-                M=adi(4), forcing=None, max_niter=15,
-                krylov_kwargs={"restart": 80, "itmax": 600})
+        def make_conv_lane(Mfac, restart):
+            def solve_conv(u_in):
+                return newton_krylov_jit(
+                    convdiff2d.residual_scaled, u_in, pc,
+                    algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+                    residual_df=convdiff2d.residual_scaled_df,
+                    M=Mfac, forcing=None, max_niter=15,
+                    krylov_kwargs={"restart": restart, "itmax": 600})
 
-        info_shape = jax.eval_shape(
-            solve_adi, jax.ShapeDtypeStruct((nc, nc), jnp.float64))[1]
-        info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
+            info_shape = jax.eval_shape(
+                solve_conv, jax.ShapeDtypeStruct((nc, nc), jnp.float64))[1]
+            info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                 info_shape)
 
-        @jax.jit
-        def f_adi(u0, k):
-            def body(i, carry):
-                acc, _ = carry
-                u_in = u0 + 1e-6 * (i + 1) + 1e-30 * acc
-                u, info = solve_adi(u_in)
-                return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
-            return lax.fori_loop(0, k, body,
-                                 (jnp.zeros((), jnp.float64), info0))
+            @jax.jit
+            def f(u0, k):
+                def body(i, carry):
+                    acc, _ = carry
+                    u_in = u0 + 1e-6 * (i + 1) + 1e-30 * acc
+                    u, info = solve_conv(u_in)
+                    return (acc + jnp.sum(u) + info.stats.inner_iterations,
+                            info)
+                return lax.fori_loop(0, k, body,
+                                     (jnp.zeros((), jnp.float64), info0))
+            return f
 
-        float(f_adi(uc0, 1)[0]); float(f_adi(uc0, 3)[0])
-        tc1 = min(_wall(f_adi, uc0, 1, r) for r in range(2))
-        tc3 = min(_wall(f_adi, uc0, 3, r + 2) for r in range(2))
-        ms_adi = max(tc3 - tc1, 0.0) / 2 * 1e3
-        _, infoc = f_adi(uc0, 1)
-        log(f"convdiff c=25 {nc}x{nc} to 1e-8 [ADI on-device]: "
-            f"marginal {ms_adi:.1f} ms/solve, solved={bool(infoc.solved)} "
-            f"outer={int(infoc.stats.outer_iterations)} "
-            f"inner={int(infoc.stats.inner_iterations)}")
+        # Two convection lanes: single-level ADI(4) (round 4's recipe) and
+        # the round-5 variable-coefficient multigrid (ADI-smoothed V-cycle
+        # on the probed nonsymmetric fields) — ~6.5x fewer inners at 256²,
+        # which also prices the GMRES basis sweep.
+        for tag, Mfac, restart in (
+                ("ADI on-device", adi(4), 80),
+                ("MG-general", multigrid2d_general(), 80)):
+            f_conv = make_conv_lane(Mfac, restart)
+            float(f_conv(uc0, 1)[0]); float(f_conv(uc0, 3)[0])
+            tc1 = min(_wall(f_conv, uc0, 1, r) for r in range(2))
+            tc3 = min(_wall(f_conv, uc0, 3, r + 2) for r in range(2))
+            ms_conv = max(tc3 - tc1, 0.0) / 2 * 1e3
+            _, infoc = f_conv(uc0, 1)
+            log(f"convdiff c=25 {nc}x{nc} to 1e-8 [{tag}]: "
+                f"marginal {ms_conv:.1f} ms/solve, solved={bool(infoc.solved)} "
+                f"outer={int(infoc.stats.outer_iterations)} "
+                f"inner={int(infoc.stats.inner_iterations)}")
     except Exception as e:
-        log(f"ADI lane FAILED: {type(e).__name__}: {e}")
+        log(f"convection lanes FAILED: {type(e).__name__}: {e}")
 
     # --- headline: flagship 2048² ms/solve vs its hardware floor ------------
     # Floor construction (docstring): measure the bf16x3 DST apply directly

@@ -557,8 +557,16 @@ def banded_direct() -> Callable:
     return factory
 
 
-def _adi_build(coeffs, sweeps: int, bounds, engine: str = "auto"):
-    """ADI apply from probed 5-point coefficient fields (see :func:`adi`)."""
+def _adi_build(coeffs, sweeps: int, bounds, engine: str = "auto",
+               alpha_frac=None):
+    """ADI apply from probed 5-point coefficient fields (see :func:`adi`).
+
+    ``alpha_frac`` (exclusive with ``bounds``): clamp the Wachspress
+    interval's low end to ``alpha_frac·β`` instead of the smallest line
+    mode — the *smoother* configuration for :func:`~newtonkrylov_tpu.mg.
+    multigrid2d_general`, where the coarse grid owns the low-frequency
+    band and the ADI parameters should spend their sweeps on the
+    oscillatory half (cf. ``two_grid``'s ``smoother_frac``)."""
     a0, aip, aim, ajp, ajm = coeffs
     n, m = a0.shape
     dtype = a0.dtype
@@ -576,13 +584,16 @@ def _adi_build(coeffs, sweeps: int, bounds, engine: str = "auto"):
         beta_h = jnp.max(hd + jnp.abs(bip) + jnp.abs(bim))
         beta_v = jnp.max(vd + jnp.abs(bjp) + jnp.abs(bjm))
         beta = jnp.maximum(beta_h, beta_v)
-        N = max(n, m)
-        # keep the NumPy scalar out of the multiply: under x64 an np.f64
-        # would promote the whole ρ cycle (and through it every
-        # preconditioned Krylov vector) to f64 — fatal when the operator is
-        # linearized at f32 (krylov_dtype paths)
-        alpha = beta * jnp.asarray(np.sin(np.pi / (2.0 * (N + 1))) ** 2,
-                                   dtype)
+        if alpha_frac is not None:
+            alpha = beta * jnp.asarray(alpha_frac, dtype)
+        else:
+            N = max(n, m)
+            # keep the NumPy scalar out of the multiply: under x64 an np.f64
+            # would promote the whole ρ cycle (and through it every
+            # preconditioned Krylov vector) to f64 — fatal when the operator
+            # is linearized at f32 (krylov_dtype paths)
+            alpha = beta * jnp.asarray(np.sin(np.pi / (2.0 * (N + 1))) ** 2,
+                                       dtype)
     # Wachspress cycle: geometric points of [α, β] at the Chebyshev-like
     # exponents (2j+1)/(2·sweeps), descending from β toward α.
     ratio = alpha / beta

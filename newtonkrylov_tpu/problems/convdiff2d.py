@@ -26,7 +26,19 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
 
 **Recipe map** (measured on CPU f64, tests/test_convdiff.py):
 
-* **Flagship, any convection strength (incl. c = 25) — on-device ADI**:
+* **Resolution-robust, convection-dominated — variable-coefficient
+  multigrid** (round 5): ``algo="gmres"`` +
+  ``M=mg.multigrid2d_general()`` — the ADI-smoothed V-cycle on the
+  probed nonsymmetric fields.  c = 25 totals **31 → 42 → 48 → 51** for
+  n = 32 → 64 → 128 → 256 (1.65× over an 8× size span): the multilevel
+  answer to single-level ADI's ~n^0.65 growth below.  Per-apply cost is
+  ~2.3× an ADI(4) apply (Σ-levels of 8 fine-grid-equivalent tridiagonal
+  batch solves), repaid ~6.5× in iteration count at n = 256 — and on
+  TPU the inner count is also what prices the GMRES basis sweep:
+  measured on real v5e at the production df32/f32 bench config (256²,
+  c = 25, 1e-8), **13.6 ms/solve (27 inners) vs 107.0 ms (441) for
+  single-level ADI** — the BENCH_r05 convection lanes.
+* **Single-level, any convection strength (incl. c = 25) — on-device ADI**:
   ``newton_krylov_jit`` + ``algo="gmres"``, ``M=precond.adi(sweeps=4)``,
   ``krylov_kwargs={"restart": None, "itmax": ..., "ortho_block": 32}``
   (ADI also tolerates ``restart=80``, the bench lane's cheaper recipe —

@@ -18,16 +18,23 @@ whose five coefficient fields all vary with the state —
 
 — which is exactly what :func:`~newtonkrylov_tpu.mg.probe_5point_general`
 recovers (six mod-3 colored JVPs) and what the constant-coefficient
-DST/Chebyshev/multigrid factories can NOT represent.  The working on-device
-recipe is therefore the ADI family:
+DST/Chebyshev/``multigrid2d`` factories can NOT represent.  The working
+on-device recipes are the general-probe family — single-level ADI and,
+since round 5, the variable-coefficient multilevel
+:func:`~newtonkrylov_tpu.mg.multigrid2d_general` (ADI-smoothed V-cycle on
+the probed fields):
 
 **Recipe map** (measured on CPU f64, tests/test_nldiff.py):
 
 * ``newton_krylov_jit`` + ``algo="gmres"`` + ``M=precond.adi(4)``: from
-  u₀ = 0, exact Newton converges in 7 outers with totals 43 → 49 → 55 for
-  n = 32 → 64 → 128 — near-flat growth, fully jitted on device.  The df32
-  path (``krylov_dtype=f32`` + ``residual_df``) refines to 1e-8 (30
-  inners at n = 64).
+  u₀ = 0, exact Newton converges in 7 outers with totals 43 → 49 → 55 → 62
+  for n = 32 → 64 → 128 → 256 — near-flat growth, fully jitted on device.
+  The df32 path (``krylov_dtype=f32`` + ``residual_df``) refines to 1e-8
+  (30 inners at n = 64).
+* ``M=mg.multigrid2d_general()``: 39 → 45 → 48 → 54 over the same sweep —
+  the multilevel variant, built for the convection regime where it wins
+  big (convdiff c=25: 51 vs ADI's 334 at n = 256); here diffusion
+  dominates and both are near-flat.
 * Constant-coefficient preconditioners mis-model the operator outright: at
   the default amp = 2 (diffusivity contrast 5×) the Laplacian-only DST
   FAILS to converge at n = 64 (6001 inners, unsolved) — the mis-modeled

@@ -292,3 +292,75 @@ def test_adi_composes_with_df32_refinement():
     assert bool(info.solved)
     us = convdiff2d.manufactured_solution(n, jnp.float64)
     assert float(jnp.max(jnp.abs(u - us))) < 1e-6
+
+
+def test_mg_general_counts_flat_in_resolution():
+    """The multilevel answer to ADI's ~n^0.65 growth (VERDICT r4 next #2):
+    variable-coefficient multigrid (general probe + per-level ADI line
+    smoothing + upwind-clamped coarsening) holds convdiff c=25 totals
+    within ~1.6x over 32 -> 256 where single-level ADI(4) grows 4.3x.
+    Measured: 31 -> 42 -> 48 -> 51 (the docstring numbers)."""
+    from newtonkrylov_tpu.mg import multigrid2d_general
+
+    counts = {}
+    for n in (32, 64, 128):
+        p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+        u0 = convdiff2d.initial_guess(n, jnp.float64)
+        u, info = newton_krylov_jit(
+            convdiff2d.residual_scaled, u0, p,
+            algo="gmres", tol_rel=1e-10, M=multigrid2d_general(),
+            forcing=None, max_niter=15,
+            krylov_kwargs={"restart": None, "itmax": 300})
+        assert bool(info.solved)
+        counts[n] = int(info.stats.inner_iterations)
+        us = convdiff2d.manufactured_solution(n, jnp.float64)
+        assert float(jnp.max(jnp.abs(u - us))) < 1e-9
+    assert counts[128] <= 2.0 * counts[32], counts  # measured 48/31 = 1.55
+    assert counts[128] <= 60, counts
+
+
+def test_mg_general_composes_with_df32_refinement():
+    """The production mixed-precision path over the multilevel factory:
+    f32 Krylov loop + df32 acceptance at c=25."""
+    from newtonkrylov_tpu.mg import multigrid2d_general
+
+    n = 64
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    u, info = newton_krylov_jit(
+        convdiff2d.residual_scaled, u0, p,
+        algo="gmres", tol_rel=1e-8, krylov_dtype=jnp.float32,
+        residual_df=convdiff2d.residual_scaled_df,
+        M=multigrid2d_general(), forcing=None, max_niter=15,
+        krylov_kwargs={"restart": None, "itmax": 300})
+    assert bool(info.solved)
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u - us))) < 1e-6
+
+
+def test_block_mg_general_sharded():
+    """Block-MG-ADI (additive Schwarz, zero communication per apply) under
+    shard_map at c=25: the multilevel pod-scale shape; the Schwarz
+    iteration-count penalty vs single-device is recorded here."""
+    from newtonkrylov_tpu.mg import multigrid2d_general
+
+    n = 64
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    mesh = make_mesh((2, 2), ("i", "j"))
+    F_local = sharded_residual_2d(convdiff2d.residual_scaled_padded,
+                                  ("i", "j"), "dirichlet")
+    u_sh, info_sh = newton_krylov_sharded(
+        F_local, u0, p, mesh, P("i", "j"),
+        newton_kwargs=dict(
+            algo="gmres", tol_rel=1e-10, forcing=None, max_niter=15,
+            M=multigrid2d_general(axis_names=("i", "j")),
+            krylov_kwargs={"restart": None, "itmax": 300}),
+        p_spec=convdiff2d.Params(dx=P(), c=P(), b=P("i", "j")))
+    assert bool(info_sh.solved)
+    # single-device totals are 42 at this size; the local hierarchies see
+    # only 32x32 blocks (2 levels at min_coarse=8), so the Schwarz penalty
+    # lands near block-ADI's (189): recorded bound
+    assert int(info_sh.stats.inner_iterations) <= 260
+    us = convdiff2d.manufactured_solution(n, jnp.float64)
+    assert float(jnp.max(jnp.abs(u_sh - us))) < 1e-9

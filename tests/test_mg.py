@@ -86,3 +86,62 @@ def test_mg_with_fgmres():
     )
     assert bool(info.solved)
     assert int(info.stats.inner_iterations) < 40
+
+
+# --- variable-coefficient multigrid (round 5, VERDICT r4 next #2) -----------
+
+def test_coarsen_general_constant_laplacian_anchor():
+    """The physical-parts coarsening reproduces the exact 2h
+    rediscretization of the constant Laplacian + mass stencil: couplings
+    invariant, mass x4 (the sanity anchor in _coarsen_general's docstring)."""
+    import jax.numpy as jnp
+
+    from newtonkrylov_tpu.mg import _coarsen_general
+
+    n, w, h2 = 16, 0.7, 1.0 / (17 ** 2)
+    one = jnp.ones((n, n))
+    coeffs = ((-4.0 + h2 * w) * one, one, one, one, one)
+    a0c, aipc, aimc, ajpc, ajmc = _coarsen_general(coeffs)
+    for c in (aipc, aimc, ajpc, ajmc):
+        np.testing.assert_allclose(np.asarray(c), 1.0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(a0c), -4.0 + 4.0 * h2 * w,
+                               atol=1e-12)
+
+
+def test_coarsen_general_convection_scaling():
+    """The antisymmetric (convection) part doubles per level: upwind-ish
+    couplings s +- t coarsen to s +- 2t (away from the upwind clamp)."""
+    import jax.numpy as jnp
+
+    from newtonkrylov_tpu.mg import _coarsen_general
+
+    n, s, t = 16, 1.0, 0.2
+    one = jnp.ones((n, n))
+    coeffs = (-(2 * s + 2 * s) * one, (s + t) * one, (s - t) * one,
+              s * one, s * one)
+    a0c, aipc, aimc, _, _ = _coarsen_general(coeffs)
+    np.testing.assert_allclose(np.asarray(aipc), s + 2 * t, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(aimc), s - 2 * t, atol=1e-12)
+
+
+def test_mg_general_matches_scalar_mg_quality_on_bratu():
+    """On the constant-off-diagonal operator the general factory must be a
+    competitive preconditioner too (it solves a superset problem):
+    iteration counts within ~2x of scalar MG-PCG on 2-D Bratu."""
+    from newtonkrylov_tpu import newton_krylov_jit
+    from newtonkrylov_tpu.mg import multigrid2d, multigrid2d_general
+    from newtonkrylov_tpu.problems import bratu2d
+
+    n = 64
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float64)
+    u_s, i_s = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="cg", tol_rel=1e-10,
+        M=multigrid2d(), forcing=None, max_niter=15)
+    u_g, i_g = newton_krylov_jit(
+        bratu2d.residual_scaled, u0, p, algo="gmres", tol_rel=1e-10,
+        M=multigrid2d_general(), forcing=None, max_niter=15,
+        krylov_kwargs={"restart": None, "itmax": 200})
+    assert bool(i_s.solved) and bool(i_g.solved)
+    assert int(i_g.stats.inner_iterations) <= 2 * int(i_s.stats.inner_iterations)
+    np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_s), atol=1e-9)

@@ -147,3 +147,26 @@ def test_sharded_nldiff_matches_single_device():
     assert bool(info_adi.solved)
     us = nldiff2d.manufactured_solution(n, dtype=jnp.float64)
     assert float(jnp.max(jnp.abs(u_adi - us))) < 1e-9
+
+
+def test_mg_general_covers_nldiff():
+    """The multilevel variable-coefficient factory handles the problem its
+    scalar sibling provably cannot represent (module docstring): near-flat
+    counts, exact manufactured root."""
+    from newtonkrylov_tpu.mg import multigrid2d_general
+
+    counts = {}
+    for n in (32, 128):
+        p = nldiff2d.default_config(n, dtype=jnp.float64)
+        u0 = nldiff2d.initial_guess(n, jnp.float64)
+        u, info = newton_krylov_jit(
+            nldiff2d.residual_scaled, u0, p,
+            algo="gmres", tol_rel=1e-10, M=multigrid2d_general(),
+            forcing=None, max_niter=15,
+            krylov_kwargs={"restart": None, "itmax": 300})
+        assert bool(info.solved)
+        counts[n] = int(info.stats.inner_iterations)
+        us = nldiff2d.manufactured_solution(n, dtype=jnp.float64)
+        assert float(jnp.max(jnp.abs(u - us))) < 1e-9
+    # measured 39 -> 48 (docstring); bound with slack
+    assert counts[128] <= 1.6 * counts[32], counts
