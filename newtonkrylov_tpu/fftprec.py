@@ -254,9 +254,19 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
     * ``"matmul"`` — DST-I as sine-basis matmuls on the MXU. This is the
       TPU-native path: one M⁻¹ apply is four n³ matmuls + an eigenvalue
       scale.
-    * ``"fft"`` — odd-extension FFT path (the textbook formulation; lengths
-      2(n+1) hit Bluestein on TPU, ~14× slower at 1024²).
-    * ``"auto"`` (default) — matmul for sides ≤ 4096, FFT above.  With
+    * ``"fft"`` — odd-extension FFT path (the textbook formulation).
+      Measured on real v5e (round 5; lengths 2(n+1) hit Bluestein):
+      3.84 / 27.3 / 179 ms per apply at 1024²/2048²/4096² vs the matmul
+      engine's 0.16 / 1.11 / 8.69 — a flat **20–24× loss at every size**,
+      and at 8192² the FFT program fails to compile outright on this
+      deployment (the Bluestein constants blow the remote-compile request
+      limit).  The "FFT for the >4096 regime" idea is measured dead on
+      TPU: past the matmul cap use :func:`~newtonkrylov_tpu.mg.multigrid2d`
+      single-chip or shard (the global-DST path divides the side back
+      into matmul range).  The engine is kept for CPU and as the
+      cross-backend fallback.
+    * ``"auto"`` (default) — matmul for sides ≤ 4096 (``_MATMUL_MAX_N``,
+      where the basis memory and n³ growth end its win), FFT above.  With
       ``scope="global"`` the matmul engine is *always* used regardless of
       size (it is the only distributed engine); global sides past the
       matmul validity range raise instead of silently degrading.

@@ -80,3 +80,33 @@ def test_global_scope_argument_validation():
         fft_poisson(scope="global", method="fft", axis_names=("i", "j"))
     with pytest.raises(ValueError, match="unknown scope"):
         fft_poisson(scope="galactic")
+
+
+def test_global_scope_size_guard_past_matmul_cap():
+    """The scope="global" guard fires at trace time once the inferred
+    GLOBAL side exceeds _MATMUL_MAX_N — backed by round-5 measurement:
+    the FFT engine (the only alternative) is a flat 20–24× slower than
+    the matmul DST at every size on v5e and fails to compile at 8192², so
+    past the cap the answer is MG or sharding, never a silent engine
+    swap (fft_poisson docstring)."""
+    import pytest
+    from jax.sharding import PartitionSpec as P
+
+    from newtonkrylov_tpu.fftprec import fft_poisson
+    from newtonkrylov_tpu.halo import make_mesh
+    from newtonkrylov_tpu.operator import JacobianOperator
+
+    mesh = make_mesh((1, 8), ("i", "j"))
+    factory = fft_poisson(scope="global", axis_names=("i", "j"))
+    nl = 520  # global side 8*520 = 4160 > 4096
+
+    def body(u_local):
+        J = JacobianOperator(lambda u, p: -4.0 * u, u_local, None)
+        return factory(J)(u_local)
+
+    f = jax.shard_map(
+        body, mesh=mesh, in_specs=(P("i", "j"),), out_specs=P("i", "j"),
+        check_vma=False,
+    )
+    with pytest.raises(ValueError, match="_MATMUL_MAX_N"):
+        jax.eval_shape(f, jax.ShapeDtypeStruct((nl, 8 * nl), jnp.float32))
