@@ -12,7 +12,11 @@ of problems/convdiff2d.py:
   straddles the origin) — shown as a negative recipe;
 * ADI line relaxation (precond.adi) solves BOTH, entirely on device and
   jitted, including the production f32-Krylov + df32-acceptance path —
-  where the reference's only robust recipe is host-side ILU.
+  where the reference's only robust recipe is host-side ILU;
+* variable-coefficient multigrid (mg.multigrid2d_general, round 5): the
+  ADI-smoothed V-cycle on the probed nonsymmetric fields — the
+  resolution-robust recipe (counts ~flat in n; 13.6 ms vs 107 ms at 256²
+  on the real-chip bench lanes).
 """
 
 import _common  # noqa: F401
@@ -25,6 +29,7 @@ import numpy as np
 
 from newtonkrylov_tpu import newton_krylov, newton_krylov_jit
 from newtonkrylov_tpu.fftprec import fft_poisson
+from newtonkrylov_tpu.mg import multigrid2d_general
 from newtonkrylov_tpu.precond import adi, ilu0
 from newtonkrylov_tpu.problems import convdiff2d
 
@@ -71,8 +76,13 @@ def main():
         tol_rel=1e-10, max_niter=15)
     u = run("gmres + ADI(4)  [on-device]", 25.0, M=adi(4), tol_rel=1e-10,
             max_niter=15)
+    run("gmres + MG-general  [multilevel]", 25.0, M=multigrid2d_general(),
+        tol_rel=1e-10, max_niter=15)
     run("gmres + ADI(4) + df32 to 1e-8", 25.0, M=adi(4), tol_rel=1e-8,
         max_niter=15, krylov_dtype=jnp.float32,
+        residual_df=convdiff2d.residual_scaled_df)
+    run("gmres + MG-general + df32 1e-8", 25.0, M=multigrid2d_general(),
+        tol_rel=1e-8, max_niter=15, krylov_dtype=jnp.float32,
         residual_df=convdiff2d.residual_scaled_df)
     run("gmres + ILU0  [host, reference]", 25.0,
         N_pre=ilu0(offsets=(-N, -1, 0, 1, N)), driver="host",

@@ -300,10 +300,12 @@ def newton_krylov(
     tol = tol_rel * n_res + tol_abs
     floor_limited = False
     if residual_df is not None and floor_rtol is not None:
-        u_low0 = _cast(u0.hi, krylov_dtype)
-        floor0 = float(_dd.floor_estimate(
-            F, u_low0, _cast_floating(p, krylov_dtype), space=space
-        ))
+        # one compiled program, not eager op-by-op: on the TPU tunnel each
+        # eager dispatch costs ~1 s (utils/profiling.py notes)
+        p_low = _cast_floating(p, krylov_dtype)
+        floor0 = float(jax.jit(
+            lambda uh: _dd.floor_estimate(F, uh, p_low, space=space)
+        )(_cast(u0.hi, krylov_dtype)))
         if floor_rtol * floor0 > tol:
             tol = floor_rtol * floor0
             floor_limited = True
