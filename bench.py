@@ -9,7 +9,7 @@ flagship path actually runs*, not a kernel no winning lane executes):
 ‖F‖ ≤ 1e-8·‖F₀‖ (DST-PCG "high", factory frozen at u0 — the production
 configuration ``__graft_entry__.entry`` certifies).  The reference
 publishes no numbers (BASELINE.md), so ``vs_baseline`` is the solve's
-*hardware-floor fraction*: the same solve re-priced with every DST apply
+*hardware-floor fraction* (0.967 in the round-5 preview): the same solve re-priced with every DST apply
 (its dominant op, ~82% of outer cost — docs/design.md "Flagship cost
 attribution") charged at the analytic v5e MXU peak for its 24·n³ bf16x3
 matmul flops and every other phase at its measured cost, divided by the
@@ -257,10 +257,16 @@ def main():
                 outer = int(info.stats.outer_iterations)
                 if tag == "DST-PCG flagship":
                     flagship[ns] = (ms, outer, inner, bool(info.solved))
+                # floor_limited: the tolerance was clamped to the measured
+                # df32 representation floor (newton.py floor_rtol) — the
+                # honest annotation for floor-adjacent lanes (4096² at
+                # 1e-8, where tol sits at the paired-f32 plateau)
+                fl = bool(info.floor_limited)
                 log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "
                     f"marginal {ms:.1f} ms/solve, solved={bool(info.solved)} "
                     f"outer={outer} inner={inner} "
-                    f"({ms*1e3/max(inner,1):.0f} us/inner)")
+                    f"({ms*1e3/max(inner,1):.0f} us/inner)"
+                    + (" floor_limited" if fl else ""))
             except Exception as e:  # a dead lane must not cost the metric line
                 log(f"JFNK lane [{tag}] {ns}x{ns} FAILED: {type(e).__name__}: {e}")
 
