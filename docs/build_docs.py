@@ -290,6 +290,19 @@ def build(out_dir: Path, strict: bool) -> int:
         for f in sorted(figdir.glob("*.png")):
             shutil.copy2(f, out_figs / f.name)
 
+    # executed .ipynb notebooks (docs/notebooks, produced by
+    # build_notebooks.py — the interactive-Pluto analogue the reference
+    # renders at /root/reference/docs/make.jl:10-29): shipped verbatim so
+    # a user can download and re-run them
+    nbdir = DOCS / "notebooks"
+    if nbdir.is_dir():
+        import shutil
+
+        out_nb = out_dir / "notebooks"
+        out_nb.mkdir(exist_ok=True)
+        for f in sorted(nbdir.glob("*.ipynb")):
+            shutil.copy2(f, out_nb / f.name)
+
     # linkcheck: internal targets must exist; externals inventoried
     stems = set(rendered)
     for stem, body in rendered.items():
