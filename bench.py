@@ -242,9 +242,12 @@ def main():
                 u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
                 ps = bratu2d.default_config(ns, lam=LAM)
                 f = make_chain_solve(ns, M, refresh)
-                # longer chains for small grids: a 512² DST solve is ~0.5 ms,
-                # so k=1 vs 3 differencing sits inside tunnel dispatch noise
-                k_hi = 9 if ns <= 512 else 3
+                # longer chains for small grids: a ≤1024² DST solve is
+                # single-digit ms, so k=1 vs 3 differencing sits inside
+                # tunnel dispatch noise (the r04→r05 1024² lane read
+                # 4.4 vs 2.6 ms from exactly this); k is a RUNTIME scalar,
+                # so a longer chain costs only k solves of runtime
+                k_hi = 9 if ns <= 1024 else 3
                 float(f(u0s, 1)[0]); float(f(u0s, k_hi)[0])  # compile + warm
                 t1 = min(_wall(f, u0s, 1, r) for r in range(2))
                 t3 = min(_wall(f, u0s, k_hi, r + 2) for r in range(2))

@@ -440,8 +440,10 @@ def floor_estimate(F, u_hi, p=None, space=None):
       (plateaus 1.148e-12 / 2.282e-12 / 4.638e-12 / 9.130e-12 ∝ n — the
       ε_dd·‖u‖ granularity law, docs/design.md "The df32 floor");
       ``/_RND_PROBE_CALIBRATION`` places the estimate at ~1.6× the
-      plateau.  Calibrated on the 5-point-stencil family; for
-      near-identity step residuals (implicit time steps) the floor is
+      plateau.  Cross-family check (nonsymmetric convection–diffusion,
+      c=25, MG-general recipe, same protocol): probe-at-solution /
+      plateau = 1.02–1.04 at n = 128/256 — the calibration transfers.
+      For near-identity step residuals (implicit time steps) the floor is
       orders below any stepping tolerance and the clamp is a no-op.
 
     A zero state has zero granularity everywhere — the probe returns 0 and

@@ -142,3 +142,34 @@ def test_ptc_floor_clamp():
     assert bool(info.floor_limited)
     assert bool(info.solved)
     assert int(info.stats.outer_iterations) < 40
+
+
+def test_floor_calibration_transfers_to_nonsymmetric_family():
+    """Cross-family pin of the probe calibration (docstring table): on
+    convection-dominated convdiff (c=25, MG-general recipe) the probe at
+    the solution state sits within [0.8, 2.5]x of the driven-past-any-
+    tolerance plateau -- i.e. inside the floor_rtol=2 clamp's safety band.
+    Measured 1.02-1.04x on the real chip; the df32 arithmetic is
+    backend-portable so the CPU plateau pins the same fact."""
+    from newtonkrylov_tpu.mg import multigrid2d_general
+    from newtonkrylov_tpu.newton import _cast_floating
+    from newtonkrylov_tpu.problems import convdiff2d
+
+    n = 96
+    p = convdiff2d.default_config(n, c=25.0, dtype=jnp.float64)
+    u0 = convdiff2d.initial_guess(n, jnp.float64)
+    u, info = newton_krylov_jit(
+        convdiff2d.residual_scaled, u0, p,
+        algo="gmres", tol_rel=0.0, tol_abs=1e-30,
+        krylov_dtype=jnp.float32,
+        residual_df=convdiff2d.residual_scaled_df, floor_rtol=None,
+        M=multigrid2d_general(), forcing=None, max_niter=12,
+        krylov_kwargs={"restart": 80, "itmax": 400})
+    h = np.asarray(info.history)
+    plateau = float(np.nanmin(h))
+    us = convdiff2d.manufactured_solution(n, jnp.float64).astype(jnp.float32)
+    probe = float(dd.floor_estimate(
+        convdiff2d.residual_scaled, us, _cast_floating(p, jnp.float32)))
+    assert plateau > 0 and probe > 0
+    ratio = probe / plateau
+    assert 0.8 < ratio < 2.5, (plateau, probe, ratio)
