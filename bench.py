@@ -287,11 +287,9 @@ def main():
         from newtonkrylov_tpu.precond import adi
         from newtonkrylov_tpu.problems import convdiff2d
 
-        nc = 256
-        pc = convdiff2d.default_config(nc, c=25.0, dtype=jnp.float64)
-        uc0 = convdiff2d.initial_guess(nc, jnp.float64)
+        def make_conv_lane(nc, Mfac, restart):
+            pc = convdiff2d.default_config(nc, c=25.0, dtype=jnp.float64)
 
-        def make_conv_lane(Mfac, restart):
             def solve_conv(u_in):
                 return newton_krylov_jit(
                     convdiff2d.residual_scaled, u_in, pc,
@@ -317,23 +315,26 @@ def main():
                                      (jnp.zeros((), jnp.float64), info0))
             return f
 
-        # Two convection lanes: single-level ADI(4) (round 4's recipe) and
-        # the round-5 variable-coefficient multigrid (ADI-smoothed V-cycle
-        # on the probed nonsymmetric fields) — ~6.5x fewer inners at 256²,
-        # which also prices the GMRES basis sweep.
-        for tag, Mfac, restart in (
-                ("ADI on-device", adi(4), 80),
-                ("MG-general", multigrid2d_general(), 80)):
-            f_conv = make_conv_lane(Mfac, restart)
-            float(f_conv(uc0, 1)[0]); float(f_conv(uc0, 3)[0])
-            tc1 = min(_wall(f_conv, uc0, 1, r) for r in range(2))
-            tc3 = min(_wall(f_conv, uc0, 3, r + 2) for r in range(2))
-            ms_conv = max(tc3 - tc1, 0.0) / 2 * 1e3
-            _, infoc = f_conv(uc0, 1)
-            log(f"convdiff c=25 {nc}x{nc} to 1e-8 [{tag}]: "
-                f"marginal {ms_conv:.1f} ms/solve, solved={bool(infoc.solved)} "
-                f"outer={int(infoc.stats.outer_iterations)} "
-                f"inner={int(infoc.stats.inner_iterations)}")
+        # Convection lanes: single-level ADI(4) (round 4's recipe) and the
+        # round-5 variable-coefficient multigrid (ADI-smoothed V-cycle on
+        # the probed nonsymmetric fields) — ~16x fewer inners at 256²,
+        # which also prices the GMRES basis sweep; the 512² MG lane shows
+        # the counts stay flat through the next doubling (29 vs 27).
+        for tag, Mfac, restart, sizes in (
+                ("ADI on-device", adi(4), 80, (256,)),
+                ("MG-general", multigrid2d_general(), 80, (256, 512))):
+            for nc in sizes:
+                uc0 = convdiff2d.initial_guess(nc, jnp.float64)
+                f_conv = make_conv_lane(nc, Mfac, restart)
+                float(f_conv(uc0, 1)[0]); float(f_conv(uc0, 3)[0])
+                tc1 = min(_wall(f_conv, uc0, 1, r) for r in range(2))
+                tc3 = min(_wall(f_conv, uc0, 3, r + 2) for r in range(2))
+                ms_conv = max(tc3 - tc1, 0.0) / 2 * 1e3
+                _, infoc = f_conv(uc0, 1)
+                log(f"convdiff c=25 {nc}x{nc} to 1e-8 [{tag}]: "
+                    f"marginal {ms_conv:.1f} ms/solve, solved={bool(infoc.solved)} "
+                    f"outer={int(infoc.stats.outer_iterations)} "
+                    f"inner={int(infoc.stats.inner_iterations)}")
     except Exception as e:
         log(f"convection lanes FAILED: {type(e).__name__}: {e}")
 

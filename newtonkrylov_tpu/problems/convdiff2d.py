@@ -37,7 +37,11 @@ is the Δx²-scaled form — ``(Σ neighbors − 4u) − (c·Δx/2)·u·(δ_x u 
   TPU the inner count is also what prices the GMRES basis sweep:
   measured on real v5e at the production df32/f32 bench config (256²,
   c = 25, 1e-8), **13.6 ms/solve (27 inners) vs 107.0 ms (441) for
-  single-level ADI** — the BENCH_r05 convection lanes.
+  single-level ADI**, and 49.2 ms / 29 inners at 512² (counts flat
+  through the next doubling) — the BENCH_r05 convection lanes.  The
+  spectral ground (tests/test_spectral.py): the MG-general-preconditioned
+  Jacobian's Ritz values at c = 25 cluster in **[0.981, 1.003]**
+  (near-identity; |imag| < 4e-3) vs ADI's [0.41, 1.07].
 * **Single-level, any convection strength (incl. c = 25) — on-device ADI**:
   ``newton_krylov_jit`` + ``algo="gmres"``, ``M=precond.adi(sweeps=4)``,
   ``krylov_kwargs={"restart": None, "itmax": ..., "ortho_block": 32}``

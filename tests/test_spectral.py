@@ -215,6 +215,17 @@ def test_convdiff_preconditioned_spectra_ground_recipe_map():
     assert (r25 > 0).all()  # ADI restores one-sidedness...
     assert r25.max() < 1.5  # ...and clusters the spectrum near 1
 
+    # the round-5 multilevel factory tightens the cluster to near-identity
+    # (measured [0.981, 1.003] real, |imag| < 4e-3) — the spectral reason
+    # its GMRES counts are ~flat in n where single-level ADI grows
+    from newtonkrylov_tpu.mg import multigrid2d_general
+
+    rmg = precond_ritz(25.0, multigrid2d_general())
+    assert (rmg > 0.9).all() and (rmg < 1.1).all()
+    spread_adi = float(r25.max() - r25.min())
+    spread_mg = float(rmg.max() - rmg.min())
+    assert spread_mg < 0.2 * spread_adi, (spread_mg, spread_adi)
+
 
 def test_lanczos_jits():
     n = 64
