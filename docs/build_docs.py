@@ -49,6 +49,8 @@ PAGES = [
     (DOCS / "walkthrough_heat2d.md", "walkthrough_heat2d", "Heat 2-D walkthrough"),
     (DOCS / "walkthrough_heat1d_dg.md", "walkthrough_heat1d_dg", "Heat 1-D DG walkthrough"),
     (DOCS / "walkthrough_sharded.md", "walkthrough_sharded", "Sharded-solve walkthrough"),
+    (DOCS / "walkthrough_precision.md", "walkthrough_precision",
+     "Precision walkthrough (df32 + the floor)"),
     (DOCS / "walkthrough_diagnostics.md", "walkthrough_diagnostics",
      "Diagnostics & globalization walkthrough"),
     ("__bibliography__", "references", "References"),
