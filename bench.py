@@ -347,23 +347,31 @@ def main():
     # apply each outer.
     MXU_PEAK_BF16 = 197e12  # v5e, public spec (scaling-book)
     try:
-        ms2048, outer2048, inner2048, ok2048 = flagship[2048]
-        assert ok2048, "flagship 2048 lane did not converge"
         from newtonkrylov_tpu.fftprec import dst_poisson_solver
-        dst_apply = dst_poisson_solver(
-            jnp.float32(1.0), jnp.float32(-4.0), (2048, 2048), jnp.float32,
-            "matmul", "high")
-        r_apply = _time_chain(lambda x, b: dst_apply(x), u0.astype(jnp.float32),
-                              None, chain=64, repeats=3)
-        t_meas = 1.0 / r_apply
-        t_peak = 24.0 * 2048**3 / MXU_PEAK_BF16
-        applies = inner2048 + outer2048
-        floor_ms = ms2048 - applies * max(t_meas - t_peak, 0.0) * 1e3
-        frac_floor = min(floor_ms / ms2048, 1.0)
-        log(f"flagship floor: DST apply measured {t_meas*1e3:.3f} ms vs peak "
-            f"{t_peak*1e3:.3f} ms ({100*t_peak/t_meas:.1f}% of peak), "
-            f"{applies} applies/solve -> floor {floor_ms:.1f} ms of "
-            f"{ms2048:.1f} ms measured ({100*frac_floor:.1f}%)")
+
+        def floor_fraction(ns):
+            ms_l, outer_l, inner_l, ok_l = flagship[ns]
+            assert ok_l, f"flagship {ns} lane did not converge"
+            dst_apply = dst_poisson_solver(
+                jnp.float32(1.0), jnp.float32(-4.0), (ns, ns), jnp.float32,
+                "matmul", "high")
+            u32 = bratu2d.initial_guess(ns, dtype=jnp.float32)
+            r_apply = _time_chain(lambda x, b: dst_apply(x), u32, None,
+                                  chain=64 if ns <= 2048 else 16, repeats=3)
+            t_meas = 1.0 / r_apply
+            t_peak = 24.0 * ns**3 / MXU_PEAK_BF16
+            applies = inner_l + outer_l
+            floor_ms = ms_l - applies * max(t_meas - t_peak, 0.0) * 1e3
+            frac_f = min(floor_ms / ms_l, 1.0)
+            log(f"flagship floor {ns}²: DST apply measured {t_meas*1e3:.3f} ms "
+                f"vs peak {t_peak*1e3:.3f} ms ({100*t_peak/t_meas:.1f}% of "
+                f"peak), {applies} applies/solve -> floor {floor_ms:.1f} ms "
+                f"of {ms_l:.1f} ms measured ({100*frac_f:.1f}%)")
+            return ms_l, frac_f
+
+        if 4096 in flagship:
+            floor_fraction(4096)
+        ms2048, frac_floor = floor_fraction(2048)
         print(json.dumps({
             "metric": "bratu2d_flagship_2048_ms_per_solve_1e8",
             "value": round(ms2048, 2),
