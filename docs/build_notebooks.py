@@ -25,7 +25,9 @@ import re
 import sys
 
 DOCS = os.path.dirname(os.path.abspath(__file__))
-OUT = os.path.join(DOCS, "notebooks")
+# NK_NB_OUT: output-directory override (tests build into a tmp dir so a
+# test run never dirties the committed artifacts — cell ids are random)
+OUT = os.environ.get("NK_NB_OUT") or os.path.join(DOCS, "notebooks")
 
 # Split the markdown into alternating prose / ```python fenced segments.
 FENCE = re.compile(r"```python\n(.*?)```", re.DOTALL)
@@ -70,9 +72,11 @@ def build(path: str) -> str:
     nb = nbformat.v4.new_notebook()
     # FIGDIR seam: walkthrough figure blocks save through it; in notebook
     # form the figures also render inline via the matplotlib Agg payloads.
+    # Relative path, NOT this build machine's absolute one — the committed
+    # artifact must re-run on a user's machine.
     preamble = (
         "import os\n"
-        f"FIGDIR = os.path.join({OUT!r}, '_figs')\n"
+        "FIGDIR = os.path.join(os.getcwd(), '_figs')\n"
         "os.makedirs(FIGDIR, exist_ok=True)\n"
         "%matplotlib inline\n"
     )

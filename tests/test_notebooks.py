@@ -18,13 +18,16 @@ def test_build_one_executed_notebook(tmp_path):
     import nbformat
 
     env = dict(os.environ)
+    # build into a tmp dir: cell ids are random per build, so writing the
+    # committed artifact would dirty the tree on every test run
+    env["NK_NB_OUT"] = str(tmp_path)
     r = subprocess.run(
         [sys.executable, os.path.join(DOCS, "build_notebooks.py"),
          "diagnostics"],
         capture_output=True, text=True, env=env, timeout=600,
     )
     assert r.returncode == 0, r.stdout + r.stderr
-    out = os.path.join(DOCS, "notebooks", "diagnostics.ipynb")
+    out = os.path.join(str(tmp_path), "diagnostics.ipynb")
     assert os.path.exists(out)
     nb = nbformat.read(out, as_version=4)
     code_cells = [c for c in nb.cells if c.cell_type == "code"]
