@@ -370,7 +370,10 @@ def main():
             return ms_l, frac_f
 
         if 4096 in flagship:
-            floor_fraction(4096)
+            try:  # informational — must never cost the 2048 headline
+                floor_fraction(4096)
+            except Exception as e:
+                log(f"4096 floor pricing skipped ({type(e).__name__}: {e})")
         ms2048, frac_floor = floor_fraction(2048)
         print(json.dumps({
             "metric": "bratu2d_flagship_2048_ms_per_solve_1e8",

@@ -454,25 +454,39 @@ def floor_estimate(F, u_hi, p=None, space=None):
     (the drivers pass their inner-loop residual with params already cast);
     ``u_hi`` — the state's hi-word tree (Krylov dtype); ``space`` —
     reduction space for the norm (psum point under sharding), default ℓ².
-    The sign pattern alternates along each leaf's *local* flat index —
-    under shard_map the local pattern differs from the single-device one,
-    which moves the estimate only statistically (the norm concentrates).
+    The probe runs TWO tangents — signs alternating along the leaf's LAST
+    axis and along its FIRST axis — and takes the larger response.  One
+    orientation alone degenerates for multi-dim leaves: ``(−1)^flat`` on
+    an even-width 2-D leaf is constant along axis 0, so an operator
+    coupling only along axis 0 would see a smooth tangent and cancel to
+    an underestimated (even zero) floor (caught by review; pinned in
+    tests/test_floor.py).  For isotropic stencils both orientations
+    respond identically, so the published calibration is unchanged; for
+    1-D leaves the two coincide.  Under shard_map the local pattern
+    differs from the single-device one, which moves the estimate only
+    statistically (the norm concentrates).
     """
-    def sign_leaf(h):
-        i = lax.iota(jnp.int32, h.size).reshape(h.shape)
-        return jnp.where(i % 2 == 0, 1.0, -1.0).astype(h.dtype)
+    def sign_leaf(h, last: bool):
+        shape = h.shape if h.ndim else (1,)
+        axis = len(shape) - 1 if last else 0
+        i = lax.broadcasted_iota(jnp.int32, shape, axis)
+        s = jnp.where(i % 2 == 0, 1.0, -1.0).astype(h.dtype)
+        return s.reshape(h.shape)
 
-    delta = jax.tree.map(
-        lambda h: jnp.abs(h) * jnp.asarray(2.0 ** -47, h.dtype) * sign_leaf(h),
-        u_hi,
-    )
-    _, jd = jax.jvp(lambda uu: F(uu, p), (u_hi,), (delta,))
-    if space is None:
-        from .tree import tree_norm
+    def response(last: bool):
+        delta = jax.tree.map(
+            lambda h: jnp.abs(h) * jnp.asarray(2.0 ** -47, h.dtype)
+            * sign_leaf(h, last),
+            u_hi,
+        )
+        _, jd = jax.jvp(lambda uu: F(uu, p), (u_hi,), (delta,))
+        if space is None:
+            from .tree import tree_norm
 
-        nrm = tree_norm(jd)
-    else:
-        nrm = space.norm(jd)
+            return tree_norm(jd)
+        return space.norm(jd)
+
+    nrm = jnp.maximum(response(True), response(False))
     return nrm / _RND_PROBE_CALIBRATION
 
 

@@ -155,6 +155,21 @@ def transfer_matmul(n: int, m: int, dtype, precision=None):
     return P, R
 
 
+def _levels_cap(shape, min_coarse: int) -> int:
+    """Deepest hierarchy the grid supports: BOTH dims must stay even at
+    every coarsening (``_restrict``'s VALID window silently drops a
+    trailing row/col otherwise — caught by review on (32, 50) grids) and
+    the coarse side must stay ≥ ``min_coarse``."""
+    n, m = shape
+    cap = 1
+    while (n % 2 == 0 and m % 2 == 0
+           and n // 2 >= min_coarse and m // 2 >= min_coarse):
+        n //= 2
+        m //= 2
+        cap += 1
+    return cap
+
+
 def _jacobi(u, b, o, d, omega, sweeps):
     safe_d = jnp.where(d != 0, d, 1.0)
     for _ in range(sweeps):
@@ -310,13 +325,8 @@ def multigrid2d(
     """
 
     def _build(o, d):
-        n = d.shape[0]
-        levels_cap = 1
-        size = n
-        while size % 2 == 0 and size // 2 >= min_coarse:
-            size //= 2
-            levels_cap += 1
-        L = levels_cap if n_levels is None else min(n_levels, levels_cap)
+        cap = _levels_cap(d.shape, min_coarse)
+        L = cap if n_levels is None else min(n_levels, cap)
         levels = _build_levels(o, d, L)
 
         def apply(r):
@@ -391,14 +401,21 @@ def _coarsen_general(coeffs):
     # so past the level where the cell Péclet crosses 1 a naive coarse
     # stencil loses its M-matrix character (a wrong-signed coupling) and
     # coarse corrections can turn oscillatory.  Clamping the symmetric
-    # part to |t| is exactly the artificial viscosity a direct upwind
-    # rediscretization of the coarse problem would carry.  At the pinned
-    # c = 25 regime the clamp is measurably neutral (counts ±1 at
+    # part's MAGNITUDE to |t| is exactly the artificial viscosity a direct
+    # upwind rediscretization of the coarse problem would carry.  At the
+    # pinned c = 25 regime the clamp is measurably neutral (counts ±1 at
     # n ≤ 256 — the Péclet crossing only reaches the last level or two);
     # it exists to keep every coarse operator diagonally dominant so the
     # line smoother's tridiagonal systems stay well-posed at any c.
-    si = jnp.maximum(si, jnp.abs(ti))
-    sj = jnp.maximum(sj, jnp.abs(tj))
+    # Sign-aware: the library's Δx²-scaled stencils have positive
+    # off-diagonals (negative diagonal), but the exact sign-mirror is an
+    # equally valid operator (cf. _adi_build's mean(a0) flip) — the clamp
+    # grows |s| along the operator's own orientation, never across zero
+    # (a plain max() would zero out every coupling of a mirrored stencil:
+    # caught by review, pinned in tests/test_mg.py).
+    sgn = jnp.where(jnp.mean(a0) < 0, 1.0, -1.0).astype(a0.dtype)
+    si = sgn * jnp.maximum(sgn * si, jnp.abs(ti))
+    sj = sgn * jnp.maximum(sgn * sj, jnp.abs(tj))
     aip_c, aim_c = si + ti, si - ti
     ajp_c, ajm_c = sj + tj, sj - tj
     a0_c = m - (aip_c + aim_c + ajp_c + ajm_c)
@@ -466,7 +483,11 @@ def multigrid2d_general(
     * **coarse solve**: a ``coarse_sweeps``-cycle ADI on the coarsest level.
 
     The apply is nonsymmetric — use under ``algo="gmres"``/FGMRES (the
-    convection regime needs GMRES regardless).  Fully jittable; invoked
+    convection regime needs GMRES regardless).  ``bounds=(α, β)``
+    overrides the Wachspress interval only where it is meaningful — the
+    single-level case (L = 1, a plain ADI solve of the fine operator);
+    multilevel smoothing/coarse intervals are always derived per level
+    from that level's own fields.  Fully jittable; invoked
     per Newton iteration so the hierarchy tracks the linearization point.
     Measured at 1e-10, exact Newton, non-restarted GMRES (CPU f64;
     tests/test_convdiff.py, tests/test_nldiff.py): convdiff c=25 total
@@ -491,25 +512,24 @@ def multigrid2d_general(
     from .precond import _adi_build
 
     def _build(coeffs):
-        n, m = coeffs[0].shape
-        levels_cap = 1
-        size = min(n, m)
-        while size % 2 == 0 and size // 2 >= min_coarse:
-            size //= 2
-            levels_cap += 1
-        L = levels_cap if n_levels is None else min(n_levels, levels_cap)
+        cap = _levels_cap(coeffs[0].shape, min_coarse)
+        L = cap if n_levels is None else min(n_levels, cap)
 
         levels = [coeffs]
         for _ in range(L - 1):
             levels.append(_coarsen_general(levels[-1]))
         # smoothing levels bias the Wachspress interval to the oscillatory
-        # half (the coarse grid owns the smooth band); the coarsest level
-        # is a *solve* and keeps the full interval
+        # half (the coarse grid owns the smooth band) — a user ``bounds``
+        # describes the FINE operator's full interval and applies only to
+        # the coarsest-level *solve*; smoothing always derives its own
+        # per-level oscillatory interval (passing fine bounds to every
+        # level would silently reuse them on operators whose row-sum part
+        # scales 4× per level — caught by review)
         smoothers = [
-            _adi_build(lv, smoother_sweeps, bounds, engine,
+            _adi_build(lv, smoother_sweeps, None, engine,
                        alpha_frac=smooth_frac)
             if i < L - 1 else
-            _adi_build(lv, coarse_sweeps, bounds, engine)
+            _adi_build(lv, coarse_sweeps, bounds if i == 0 else None, engine)
             for i, lv in enumerate(levels)
         ]
 

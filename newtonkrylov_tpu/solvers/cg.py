@@ -187,8 +187,8 @@ def _cg_pipelined(Aop, Mop, b, x0, itmax, atol, rtol, space, dtype):
     r0 = space.mask_tree(tree_sub(b, Aop(x0)))
     u0 = precond(r0)
     w0 = space.mask_tree(Aop(u0))
-    rr0 = space.dot(r0, r0)
-    beta0 = jnp.sqrt(rr0.real)
+    rr0 = space.dot(r0, r0).real
+    beta0 = jnp.sqrt(rr0)
     eps_abs = atol + rtol * beta0
     zeros = tree_zeros_like(b)
 
@@ -200,6 +200,7 @@ def _cg_pipelined(Aop, Mop, b, x0, itmax, atol, rtol, space, dtype):
         gamma, delta, rr = space.dot_stack([
             (c.r, c.u), (c.w, c.u), (c.r, c.r),
         ])
+        rr = rr.real  # complex-Hermitian systems: ‖r‖² is real (cf. plain CG)
         # ... while the heavy ops proceed independently of it
         m = precond(c.w)
         n = space.mask_tree(Aop(m))
@@ -246,5 +247,12 @@ def _cg_pipelined(Aop, Mop, b, x0, itmax, atol, rtol, space, dtype):
         jnp.zeros((), jnp.int32), beta0 <= eps_abs, jnp.zeros((), bool),
     )
     fin = lax.while_loop(cond, body, init)
-    return KrylovResult(fin.x, fin.k, jnp.sqrt(fin.rr), fin.converged,
-                        fin.breakdown)
+    # Final detection OUTSIDE the loop: convergence is observed one body
+    # after the update that achieved it, so a solve whose residual crosses
+    # tolerance exactly at k = itmax would otherwise exit converged=False
+    # with a one-update-stale resnorm (review finding).  One exact norm of
+    # the final carried residual closes both gaps.
+    rr_fin = space.dot(fin.r, fin.r).real
+    resnorm = jnp.sqrt(rr_fin)
+    return KrylovResult(fin.x, fin.k, resnorm,
+                        fin.converged | (resnorm <= eps_abs), fin.breakdown)

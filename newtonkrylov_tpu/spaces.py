@@ -51,18 +51,18 @@ class VectorSpace:
         round: under sharding the stacked pair rides ONE psum (a (2,)
         allreduce has the same tree latency as a scalar one), so a solver
         that needs both — e.g. CG's post-update ``‖r‖`` and ``<r, z>`` —
-        pays one latency instead of two.  Default: two dots, stacked.
+        pays one latency instead of two.  Thin alias of :meth:`dot_stack`.
         """
-        return jnp.stack([self.dot(x1, y1), self.dot(x2, y2)])
+        return self.dot_stack([(x1, y1), (x2, y2)])
 
     def dot_stack(self, pairs):
         """k independent inner products as one (k,)-reduction round.
 
-        The generalization of :meth:`dot2` that pipelined CG's fused
-        seven-dot round rides (``solvers.cg(pipeline=True)``): a (k,)
-        allreduce has the same tree latency as a scalar one, so ALL of an
-        iteration's scalars cost one round.  ``pairs``: iterable of
-        ``(x, y)`` pytrees.
+        The general fused round — pipelined CG stacks its three
+        per-iteration scalars through it (``solvers.cg(pipeline=True)``):
+        a (k,) allreduce has the same tree latency as a scalar one, so
+        ALL of an iteration's scalars cost one round.  ``pairs``:
+        iterable of ``(x, y)`` pytrees.
         """
         return jnp.stack([self.dot(x, y) for x, y in pairs])
 
@@ -151,12 +151,9 @@ class ShardedSpace(VectorSpace):
     def project_rows(self, V, w):
         return jax.lax.psum(self._local().project_rows(V, w), tuple(self.axis_names))
 
-    def dot2(self, x1, y1, x2, y2):
-        loc = self._local()
-        pair = jnp.stack([loc.dot(x1, y1), loc.dot(x2, y2)])
-        return jax.lax.psum(pair, tuple(self.axis_names))
-
     def dot_stack(self, pairs):
+        # dot2 rides through here (base-class alias): local dots stacked,
+        # ONE psum completes them all
         loc = self._local()
         stacked = jnp.stack([loc.dot(x, y) for x, y in pairs])
         return jax.lax.psum(stacked, tuple(self.axis_names))

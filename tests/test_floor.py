@@ -173,3 +173,28 @@ def test_floor_calibration_transfers_to_nonsymmetric_family():
     assert plateau > 0 and probe > 0
     ratio = probe / plateau
     assert 0.8 < ratio < 2.5, (plateau, probe, ratio)
+
+
+def test_floor_probe_sees_single_axis_couplings():
+    """Review regression: a single sign orientation degenerates on 2-D
+    leaves ((-1)^flat is constant along axis 0 for even widths), so an
+    operator coupling ONLY along axis 0 saw a smooth tangent and a ~zero
+    probe.  The two-orientation probe must respond."""
+    n = 32
+
+    def F_axis0(u, p):
+        up = jnp.pad(u, ((1, 1), (0, 0)))
+        return up[2:, :] + up[:-2, :] - 2.0 * u   # d_xx only
+
+    u = jnp.ones((n, n), jnp.float32) * 0.5
+    fl = float(dd.floor_estimate(F_axis0, u, None))
+    # the oscillatory-axis response: |J delta| ~ 4*eps_dd*|u| per entry
+    per_entry = 4.0 * 0.5 * 2.0 ** -47
+    expect = per_entry * n / 4.0  # norm over n^2 entries / calibration
+    assert fl > 0.25 * expect, (fl, expect)
+
+    # and the isotropic calibration values are unchanged by the max():
+    # both orientations respond identically on the symmetric stencil
+    p = bratu2d.default_config(n, lam=5.0)
+    u0 = bratu2d.initial_guess(n, dtype=jnp.float32)
+    assert _probe(n) > 0

@@ -145,3 +145,53 @@ def test_mg_general_matches_scalar_mg_quality_on_bratu():
     assert bool(i_s.solved) and bool(i_g.solved)
     assert int(i_g.stats.inner_iterations) <= 2 * int(i_s.stats.inner_iterations)
     np.testing.assert_allclose(np.asarray(u_g), np.asarray(u_s), atol=1e-9)
+
+
+def test_coarsen_general_sign_mirror():
+    """Review regression: the upwind clamp must respect the operator's own
+    sign orientation.  The exact sign-mirror of a stencil (positive
+    diagonal, negative off-diagonals -- the textbook SPD convention) is an
+    equally valid operator; a sign-blind max() zeroed every coarse
+    coupling for it."""
+    import jax.numpy as jnp
+
+    from newtonkrylov_tpu.mg import _coarsen_general
+
+    n, w, h2 = 16, 0.7, 1.0 / (17 ** 2)
+    one = jnp.ones((n, n))
+    neg = ((-4.0 + h2 * w) * one, one, one, one, one)
+    pos = tuple(-c for c in neg)
+    a0n, *coupn = _coarsen_general(neg)
+    a0p, *coupp = _coarsen_general(pos)
+    # mirror symmetry: coarsening commutes with the global sign flip
+    np.testing.assert_allclose(np.asarray(a0p), -np.asarray(a0n), atol=1e-12)
+    for cp, cn in zip(coupp, coupn):
+        np.testing.assert_allclose(np.asarray(cp), -np.asarray(cn), atol=1e-12)
+        assert float(jnp.max(jnp.abs(cp))) > 0.5  # couplings survived
+
+
+def test_mg_general_nonsquare_grid_level_cap():
+    """Review regression: the hierarchy depth must respect BOTH dims --
+    (32, 50) coarsens once to (16, 25) and must stop there (25 is odd;
+    another 2x2 VALID window would silently drop a row)."""
+    from newtonkrylov_tpu.mg import _levels_cap, multigrid2d_general
+    from newtonkrylov_tpu.operator import JacobianOperator
+
+    assert _levels_cap((32, 50), 8) == 2
+    assert _levels_cap((32, 32), 8) == 3
+    assert _levels_cap((32, 50), 16) == 2
+    assert _levels_cap((30, 50), 8) == 2  # 15x25: both odd after one step
+
+    n, m = 32, 50
+    dx = 1.0 / (n + 1)
+
+    def F(u, p):
+        up = jnp.pad(u, 1)
+        s = up[2:, 1:-1] + up[:-2, 1:-1] + up[1:-1, 2:] + up[1:-1, :-2]
+        return s - 4.0 * u + dx * dx * jnp.exp(u)
+
+    u0 = jnp.zeros((n, m))
+    J = JacobianOperator(F, u0, None)
+    apply = multigrid2d_general()(J)
+    out = apply(jnp.ones((n, m)))  # must trace and run, shapes consistent
+    assert out.shape == (n, m) and bool(jnp.all(jnp.isfinite(out)))

@@ -391,3 +391,17 @@ def test_fgmres_ortho_block_matches_unblocked():
     assert bool(r_blk.converged)
     assert int(r_ref.niter) == int(r_blk.niter)
     np.testing.assert_allclose(np.asarray(r_blk.x), x_true, atol=1e-7)
+
+
+def test_cg_pipelined_itmax_edge_detection():
+    """Review regression: convergence achieved exactly at k=itmax is
+    detected by the post-loop exact-norm check (the in-loop detection
+    lags one body), and resnorm is the true final residual."""
+    A, b, x_true = random_system(60, seed=8, spd=True)
+    r_full = cg(lambda v: A @ v, b, rtol=1e-12, pipeline=True)
+    k_star = int(r_full.niter)
+    r_edge = cg(lambda v: A @ v, b, rtol=1e-12, pipeline=True, itmax=k_star)
+    assert int(r_edge.niter) == k_star
+    assert bool(r_edge.converged)
+    true_res = float(jnp.linalg.norm(b - A @ r_edge.x))
+    assert abs(float(r_edge.residual) - true_res) <= 1e-9 * float(jnp.linalg.norm(b))
