@@ -214,8 +214,9 @@ def _global_dst_solver(o, d, shape_local, axis_names, shift, precision):
     else:
         dbar = -4.0 * o
 
-    roff = jax.lax.axis_index(ax0) * nl if ax0 is not None else 0
-    coff = jax.lax.axis_index(ax1) * ml if ax1 is not None else 0
+    from .mg import block_offsets
+
+    roff, coff = block_offsets((nl, ml), ax0, ax1)
     gi = (jnp.arange(1, nl + 1) + roff).astype(dtype)
     gj = (jnp.arange(1, ml + 1) + coff).astype(dtype)
     ci = 2.0 * jnp.cos(jnp.pi * gi / (n + 1))
@@ -319,8 +320,9 @@ def fft_poisson(shift: str = "mean", method: str = "auto",
 
             ax0, ax1 = axis_names
             nl, ml = J.u.shape
-            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
-            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            from .mg import block_offsets
+
+            roff, coff = block_offsets((nl, ml), ax0, ax1)
             o, d = probe_5point(J, roff, coff)
             if scope == "global":
                 return _global_dst_solver(

@@ -37,7 +37,7 @@ from jax import lax
 from .operator import JacobianOperator
 
 __all__ = ["multigrid2d", "multigrid2d_general", "vcycle", "probe_5point",
-           "probe_5point_general", "transfer_matmul"]
+           "probe_5point_general", "transfer_matmul", "block_offsets"]
 
 
 def _neighbor_sum(u):
@@ -169,6 +169,17 @@ def _levels_cap(shape, min_coarse: int) -> int:
         cap += 1
     return cap
 
+
+def block_offsets(shape_local, ax0, ax1):
+    """Global (row, col) origin of this device's block inside a shard_map
+    body: ``axis_index * local_side`` per sharded dim, 0 for unsharded.
+    Every probing factory threads these into its grid coloring so colors
+    stay globally consistent across shard seams (probe_5point's warning).
+    """
+    nl, ml = shape_local
+    roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
+    coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+    return roff, coff
 
 def _jacobi(u, b, o, d, omega, sweeps):
     safe_d = jnp.where(d != 0, d, 1.0)
@@ -343,9 +354,7 @@ def multigrid2d(
         ax0, ax1 = axis_names
 
         def sharded_factory(J: JacobianOperator):
-            nl, ml = J.u.shape
-            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
-            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            roff, coff = block_offsets(J.u.shape, ax0, ax1)
             return _build(*probe_5point(J, roff, coff))
 
         return sharded_factory
@@ -546,9 +555,7 @@ def multigrid2d_general(
         ax0, ax1 = axis_names
 
         def sharded_factory(J: JacobianOperator):
-            nl, ml = J.u.shape
-            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
-            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            roff, coff = block_offsets(J.u.shape, ax0, ax1)
             return _build(probe_5point_general(J, roff, coff))
 
         return sharded_factory

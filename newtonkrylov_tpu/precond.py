@@ -205,11 +205,11 @@ def chebyshev(degree: int = 16, *, bounds=None, lo_frac: float = 1.0 / 30.0,
 
         def sharded_factory(J: JacobianOperator):
             from .halo import exchange_2d
+            from .mg import block_offsets
             from .spaces import ShardedSpace
 
             nl, ml = J.u.shape
-            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
-            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            roff, coff = block_offsets((nl, ml), ax0, ax1)
             o, d = probe_5point(J, roff, coff)
             dmin = lax.pmin(jnp.min(d), names) if names else jnp.min(d)
             dmax = lax.pmax(jnp.max(d), names) if names else jnp.max(d)
@@ -691,9 +691,9 @@ def adi(sweeps: int = 4, *, bounds=None, axis_names=None,
         ax0, ax1 = axis_names
 
         def sharded_factory(J: JacobianOperator):
-            nl, ml = J.u.shape
-            roff = lax.axis_index(ax0) * nl if ax0 is not None else 0
-            coff = lax.axis_index(ax1) * ml if ax1 is not None else 0
+            from .mg import block_offsets
+
+            roff, coff = block_offsets(J.u.shape, ax0, ax1)
             return _adi_build(probe_5point_general(J, roff, coff),
                               sweeps, bounds, engine)
 
