@@ -129,9 +129,12 @@ def solve_report(info, n_unknowns: int, wall_s: Optional[float] = None) -> str:
     outer = int(info.stats.outer_iterations)
     inner = int(info.stats.inner_iterations)
     t = float(wall_s if wall_s is not None else (info.t or 0.0))
+    fl = bool(getattr(info, "floor_limited", False) or False)
     lines = [
         f"solved={bool(info.solved)}  outer={outer}  inner={inner}  "
-        f"final |F|={float(info.stats.n_res):.3e}",
+        f"final |F|={float(info.stats.n_res):.3e}"
+        + ("  [floor_limited: tol clamped to the df32 representation floor]"
+           if fl else ""),
     ]
     if t > 0:
         lines.append(
