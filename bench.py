@@ -242,12 +242,14 @@ def main():
                 u0s = bratu2d.initial_guess(ns, dtype=jnp.float64)
                 ps = bratu2d.default_config(ns, lam=LAM)
                 f = make_chain_solve(ns, M, refresh)
-                # longer chains for small grids: a ≤1024² DST solve is
-                # single-digit ms, so k=1 vs 3 differencing sits inside
-                # tunnel dispatch noise (the r04→r05 1024² lane read
-                # 4.4 vs 2.6 ms from exactly this); k is a RUNTIME scalar,
-                # so a longer chain costs only k solves of runtime
-                k_hi = 9 if ns <= 1024 else 3
+                # Chain long enough that the DIFFERENCED work dominates the
+                # ~30 ms tunnel-dispatch jitter: k=9 still let the 512²
+                # lane read 0.0–1.0 ms and 1024² 2.0–4.5 ms across runs
+                # (k·ms_solve must be ≫ jitter, not merely > 0).  k is a
+                # RUNTIME scalar — one compile per lane regardless — so a
+                # long chain costs only k solves of runtime (~0.3 s/lane).
+                k_hi = {512: 129, 1024: 65, 2048: 9}.get(ns, 3)
+                k_hi = 129 if ns < 512 else k_hi
                 float(f(u0s, 1)[0]); float(f(u0s, k_hi)[0])  # compile + warm
                 t1 = min(_wall(f, u0s, 1, r) for r in range(2))
                 t3 = min(_wall(f, u0s, k_hi, r + 2) for r in range(2))

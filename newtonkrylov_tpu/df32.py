@@ -416,10 +416,11 @@ def floor_estimate(F, u_hi, p=None, space=None):
     set by the *state-representation granularity*: the pair ``(hi, lo)``
     resolves ``u`` to one ulp of the lo word, ε_dd·|u| ≈ 2⁻⁴⁷·|u|, and the
     solve's computed residual carries arithmetic noise at the image of that
-    granularity under the Jacobian.  Measured as one forward-mode tangent
-    of the *plain* residual at a deterministic random-sign perturbation:
+    granularity under the Jacobian.  Measured as forward-mode tangents
+    of the *plain* residual at deterministic alternating-sign
+    perturbations (one per axis orientation, larger response kept):
 
-        floor ≈ ‖J(u) · (±ε_dd·|u|)‖ / 4      (one ``jax.jvp``)
+        floor ≈ ‖J(u) · (±ε_dd·|u|)‖ / 4      (two ``jax.jvp`` calls)
 
     Design notes, all measured (benchmarks/floor_probe.py, real v5e):
 
