@@ -1,0 +1,109 @@
+"""Measure the >4096 ("XL") regime: single-chip 8192² Bratu JFNK solves.
+
+Past ``fftprec._MATMUL_MAX_N`` (= 4096) the DST matmul engine is out of
+validity range and the FFT engine is measured dead on TPU (20–24× slower,
+fails to compile at 8192² — docs/design.md "DST engine crossover"), so the
+documented recommendation for larger single-chip sides is the O(n²)
+geometric V-cycle (docs/preconditioners.md).  This probe turns that
+recommendation into a measurement: a df32-refined 8192² solve to
+1e-8·‖F₀‖ with MG-PCG on one v5e chip — 64 M unknowns, ~2.1 GB of df32
+state + Krylov vectors resident in HBM.
+
+Protocol matches bench.py's lane harness: whole-solve jit, marginal cost
+by k-solve chain differencing (k a runtime scalar, one compile), the
+convergence facts carried out of the same compiled program.  two-grid
+(coarse solve = 4096² DST at the matmul cap) is included as the
+alternative multilevel path.
+
+Run:  python benchmarks/xl8192.py [sizes...]    (default: 8192)
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+from jax import lax
+
+from newtonkrylov_tpu import newton_krylov_jit
+from newtonkrylov_tpu.mg import multigrid2d
+from newtonkrylov_tpu.precond import two_grid
+from newtonkrylov_tpu.problems import bratu2d
+
+LAM = 5.0
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_chain_solve(ns, M, refresh):
+    ps = bratu2d.default_config(ns, lam=LAM)
+
+    def solve(u_in):
+        return newton_krylov_jit(
+            bratu2d.residual_scaled, u_in, ps,
+            algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
+            residual_df=bratu2d.residual_scaled_df,
+            max_niter=20, M=M, precond_refresh=refresh,
+        )
+
+    info_shape = jax.eval_shape(
+        solve, jax.ShapeDtypeStruct((ns, ns), jnp.float64))[1]
+    info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
+
+    @jax.jit
+    def f(u0, k):
+        def body(i, carry):
+            acc, _ = carry
+            u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
+            u, info = solve(u_in)
+            return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
+        return lax.fori_loop(0, k, body, (jnp.zeros((), jnp.float64), info0))
+
+    return f
+
+
+def wall(f, u0, k, r):
+    u = u0 * (1.0 + 1e-7 * (r + 1))
+    t0 = time.perf_counter()
+    float(f(u, k)[0])
+    return time.perf_counter() - t0
+
+
+def main():
+    sizes = [int(a) for a in sys.argv[1:]] or [8192]
+    log(f"device: {jax.devices()[0]}, platform: {jax.default_backend()}")
+    lanes = [("MG-PCG", multigrid2d(), "outer"),
+             ("two-grid", two_grid(8, precision="high"), "once")]
+    for ns in sizes:
+        u0 = bratu2d.initial_guess(ns, dtype=jnp.float64)
+        for tag, M, refresh in lanes:
+            try:
+                f = make_chain_solve(ns, M, refresh)
+                t0 = time.perf_counter()
+                float(f(u0, 1)[0])
+                log(f"[{tag}] {ns}²: compile+first solve "
+                    f"{time.perf_counter() - t0:.1f} s")
+                float(f(u0, 3)[0])  # warm
+                t1 = min(wall(f, u0, 1, r) for r in range(2))
+                t3 = min(wall(f, u0, 3, r + 2) for r in range(2))
+                ms = max(t3 - t1, 0.0) / 2 * 1e3
+                _, info = f(u0, 1)
+                log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "
+                    f"marginal {ms:.1f} ms/solve, solved={bool(info.solved)} "
+                    f"outer={int(info.stats.outer_iterations)} "
+                    f"inner={int(info.stats.inner_iterations)}"
+                    + (" floor_limited" if bool(info.floor_limited) else ""))
+            except Exception as e:
+                log(f"[{tag}] {ns}² FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()
