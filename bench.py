@@ -60,6 +60,47 @@ def time_chain(fn, a, b):
     return _time_chain(fn, a, b, chain=CHAIN, repeats=REPEATS)
 
 
+def make_chain_solve(ns, M=None, refresh="outer", lam=LAM):
+    # ONE compiled program per lane: the k-solve timing chain carries
+    # the last solve's NewtonInfo through the fori carry, so the
+    # convergence-facts verification reuses the k=1 call instead of
+    # compiling a second whole-solve program (remote compiles through
+    # the tunnel are ~45 s each and dominated bench wall time).  Shared
+    # with benchmarks/xl8192.py — the XL lanes must measure under the
+    # exact protocol of the bench lanes they extend.
+    ps = bratu2d.default_config(ns, lam=lam)
+
+    def solve(u_in):
+        return newton_krylov_jit(
+            bratu2d.residual_scaled, u_in, ps,
+            algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
+            residual_df=bratu2d.residual_scaled_df,
+            max_niter=20, M=M, precond_refresh=refresh,
+        )
+
+    info_shape = jax.eval_shape(
+        solve, jax.ShapeDtypeStruct((ns, ns), jnp.float64))[1]
+    info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
+
+    @jax.jit
+    def f(u0, k):
+        def body(i, carry):
+            acc, _ = carry
+            u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
+            u, info = solve(u_in)
+            return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
+        return lax.fori_loop(0, k, body,
+                             (jnp.zeros((), jnp.float64), info0))
+    return f
+
+
+def chain_wall(f, u0, k, r):
+    u = u0 * (1.0 + 1e-7 * (r + 1))
+    t0 = time.perf_counter()
+    float(f(u, k)[0])
+    return time.perf_counter() - t0
+
+
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev}, platform: {jax.default_backend()}")
@@ -167,42 +208,7 @@ def main():
     from newtonkrylov_tpu.mg import multigrid2d
     from newtonkrylov_tpu.precond import chebyshev, two_grid
 
-    def make_chain_solve(ns, M=None, refresh="outer"):
-        # ONE compiled program per lane: the k-solve timing chain carries
-        # the last solve's NewtonInfo through the fori carry, so the
-        # convergence-facts verification reuses the k=1 call instead of
-        # compiling a second whole-solve program (remote compiles through
-        # the tunnel are ~45 s each and dominated bench wall time).
-        ps = bratu2d.default_config(ns, lam=LAM)
-
-        def solve(u_in):
-            return newton_krylov_jit(
-                bratu2d.residual_scaled, u_in, ps,
-                algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
-                residual_df=bratu2d.residual_scaled_df,
-                max_niter=20, M=M, precond_refresh=refresh,
-            )
-
-        info_shape = jax.eval_shape(
-            solve, jax.ShapeDtypeStruct((ns, ns), jnp.float64))[1]
-        info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
-
-        @jax.jit
-        def f(u0, k):
-            def body(i, carry):
-                acc, _ = carry
-                u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
-                u, info = solve(u_in)
-                return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
-            return lax.fori_loop(0, k, body,
-                                 (jnp.zeros((), jnp.float64), info0))
-        return f
-
-    def _wall(f, u0, k, r):
-        u = u0 * (1.0 + 1e-7 * (r + 1))
-        t0 = time.perf_counter()
-        float(f(u, k)[0])
-        return time.perf_counter() - t0
+    _wall = chain_wall
 
     # Lanes: preconditioner x grid size.  Flagship = DST-PCG(high) with
     # precond_refresh="once": exact Poisson preconditioner, bf16x3 MXU

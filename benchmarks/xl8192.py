@@ -9,11 +9,14 @@ recommendation into a measurement: a df32-refined 8192² solve to
 1e-8·‖F₀‖ with MG-PCG on one v5e chip — 64 M unknowns, ~2.1 GB of df32
 state + Krylov vectors resident in HBM.
 
-Protocol matches bench.py's lane harness: whole-solve jit, marginal cost
-by k-solve chain differencing (k a runtime scalar, one compile), the
-convergence facts carried out of the same compiled program.  two-grid
-(coarse solve = 4096² DST at the matmul cap) is included as the
-alternative multilevel path.
+Measured (2026-08, real v5e, recorded in docs/design.md):
+MG-PCG 1849.6 ms marginal/solve (8 outer / 43 inner, floor_limited),
+two-grid 5233.3 ms (8/29); both solved=True, deterministic.
+
+Protocol: bench.py's own lane harness, imported (``make_chain_solve`` /
+``chain_wall``) so the XL lanes measure under the exact protocol of the
+bench lanes they extend.  ~60 s whole-solve compile at 8192² keeps these
+out of bench.py itself.
 
 Run:  python benchmarks/xl8192.py [sizes...]    (default: 8192)
 """
@@ -29,52 +32,15 @@ import jax
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
-from jax import lax
 
-from newtonkrylov_tpu import newton_krylov_jit
+from bench import chain_wall, make_chain_solve
 from newtonkrylov_tpu.mg import multigrid2d
 from newtonkrylov_tpu.precond import two_grid
 from newtonkrylov_tpu.problems import bratu2d
 
-LAM = 5.0
-
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
-
-
-def make_chain_solve(ns, M, refresh):
-    ps = bratu2d.default_config(ns, lam=LAM)
-
-    def solve(u_in):
-        return newton_krylov_jit(
-            bratu2d.residual_scaled, u_in, ps,
-            algo="cg", tol_rel=1e-8, krylov_dtype=jnp.float32,
-            residual_df=bratu2d.residual_scaled_df,
-            max_niter=20, M=M, precond_refresh=refresh,
-        )
-
-    info_shape = jax.eval_shape(
-        solve, jax.ShapeDtypeStruct((ns, ns), jnp.float64))[1]
-    info0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), info_shape)
-
-    @jax.jit
-    def f(u0, k):
-        def body(i, carry):
-            acc, _ = carry
-            u_in = u0 * (1.0 + 1e-6 * (i + 1)) + 1e-30 * acc
-            u, info = solve(u_in)
-            return (acc + jnp.sum(u) + info.stats.inner_iterations, info)
-        return lax.fori_loop(0, k, body, (jnp.zeros((), jnp.float64), info0))
-
-    return f
-
-
-def wall(f, u0, k, r):
-    u = u0 * (1.0 + 1e-7 * (r + 1))
-    t0 = time.perf_counter()
-    float(f(u, k)[0])
-    return time.perf_counter() - t0
 
 
 def main():
@@ -92,8 +58,8 @@ def main():
                 log(f"[{tag}] {ns}²: compile+first solve "
                     f"{time.perf_counter() - t0:.1f} s")
                 float(f(u0, 3)[0])  # warm
-                t1 = min(wall(f, u0, 1, r) for r in range(2))
-                t3 = min(wall(f, u0, 3, r + 2) for r in range(2))
+                t1 = min(chain_wall(f, u0, 1, r) for r in range(2))
+                t3 = min(chain_wall(f, u0, 3, r + 2) for r in range(2))
                 ms = max(t3 - t1, 0.0) / 2 * 1e3
                 _, info = f(u0, 1)
                 log(f"JFNK df32-refined {ns}x{ns} to 1e-8 [{tag}]: "

@@ -87,18 +87,16 @@ def build(path: str) -> str:
     nb.metadata["language_info"] = {"name": "python"}
 
     os.makedirs(OUT, exist_ok=True)
-    # Kernel env: the sharded walkthrough's first block sets XLA_FLAGS via
-    # os.environ before importing jax — that works inside one kernel too,
-    # but be explicit for robustness (the flags are harmless elsewhere).
-    env = dict(os.environ)
-    env.setdefault(
-        "XLA_FLAGS",
-        "--xla_force_host_platform_device_count=8 "
-        "--xla_cpu_enable_fast_math=false",
-    )
-    if "xla_force_host_platform_device_count" not in env["XLA_FLAGS"]:
-        env["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
-    os.environ.update({"XLA_FLAGS": env["XLA_FLAGS"]})
+    # Kernel env: NotebookClient's kernel inherits THIS process's
+    # os.environ (there is no per-kernel env seam), so mutate it directly —
+    # a separate dict here would be dead code masquerading as isolation
+    # (review r5).  The flags are harmless for the non-sharded walkthroughs.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+    if "xla_cpu_enable_fast_math" not in flags:
+        flags = (flags + " --xla_cpu_enable_fast_math=false").strip()
+    os.environ["XLA_FLAGS"] = flags
     client = NotebookClient(
         nb, timeout=900, kernel_name="python3",
         resources={"metadata": {"path": os.path.dirname(DOCS)}},

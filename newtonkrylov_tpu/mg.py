@@ -421,10 +421,22 @@ def _coarsen_general(coeffs):
     # equally valid operator (cf. _adi_build's mean(a0) flip) — the clamp
     # grows |s| along the operator's own orientation, never across zero
     # (a plain max() would zero out every coupling of a mirrored stencil:
-    # caught by review, pinned in tests/test_mg.py).
-    sgn = jnp.where(jnp.mean(a0) < 0, 1.0, -1.0).astype(a0.dtype)
-    si = sgn * jnp.maximum(sgn * si, jnp.abs(ti))
-    sj = sgn * jnp.maximum(sgn * sj, jnp.abs(tj))
+    # caught by review, pinned in tests/test_mg.py).  The orientation is
+    # each direction's OWN symmetric part, not the diagonal's sign: a
+    # shift-dominated operator (ShiftedOperator(J, 1/δ) with 1/δ > 4 —
+    # pseudo_transient's stressed small-δ phase) flips sign(mean(a0))
+    # while the couplings keep theirs, and a diagonal-keyed clamp would
+    # zero or sign-flip every coarse coupling exactly there (caught by
+    # review round 5; pinned in tests/test_mg.py).  Couplings ≈ 0 (pure
+    # convection in that direction) fall back to the diagonal mirror.
+    def _sgn(s):
+        ms = jnp.mean(s)
+        fallback = jnp.where(jnp.mean(a0) < 0, 1.0, -1.0)
+        return jnp.where(ms != 0, jnp.sign(ms), fallback).astype(a0.dtype)
+
+    sgn_i, sgn_j = _sgn(si), _sgn(sj)
+    si = sgn_i * jnp.maximum(sgn_i * si, jnp.abs(ti))
+    sj = sgn_j * jnp.maximum(sgn_j * sj, jnp.abs(tj))
     aip_c, aim_c = si + ti, si - ti
     ajp_c, ajm_c = sj + tj, sj - tj
     a0_c = m - (aip_c + aim_c + ajp_c + ajm_c)

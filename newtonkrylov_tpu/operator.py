@@ -157,7 +157,18 @@ class ShiftedOperator(LinearOperator):
     @property
     def u(self):
         u = getattr(self.J, "u", None)
-        return u if u is not None else getattr(self.J, "example_in", None)
+        if u is None:
+            u = getattr(self.J, "example_in", None)
+        if u is None:
+            # a descriptive error at the access site beats a NoneType
+            # dereference deep inside a probing factory (review r5);
+            # guarded consumers (getattr(op, "u", None)) still get None
+            raise AttributeError(
+                f"ShiftedOperator operand {type(self.J).__name__} exposes "
+                "neither 'u' nor 'example_in'; probing factories need an "
+                "example input — wrap a JacobianOperator/FnOperator-shaped "
+                "operand or provide one of those attributes")
+        return u
 
     @property
     def res(self):

@@ -170,6 +170,57 @@ def test_coarsen_general_sign_mirror():
         assert float(jnp.max(jnp.abs(cp))) > 0.5  # couplings survived
 
 
+def test_coarsen_general_shift_dominated_keeps_couplings():
+    """Review regression (round 5): the clamp orientation must come from
+    each direction's OWN symmetric part, not the diagonal's sign.  A
+    shift-dominated operator -- ShiftedOperator(J, 1/delta) with
+    1/delta > 4, i.e. pseudo_transient's stressed small-delta phase --
+    has a POSITIVE diagonal with the couplings still positive; the old
+    diagonal-keyed clamp zeroed every coarse coupling there, silently
+    degrading multigrid2d_general to a diagonal preconditioner."""
+    import jax.numpy as jnp
+
+    from newtonkrylov_tpu.mg import _coarsen_general
+
+    n = 16
+    one = jnp.ones((n, n))
+    # -4 + 1/delta with delta = 1/6: diagonal +2, couplings +1
+    coeffs = (2.0 * one, one, one, one, one)
+    a0c, *coup = _coarsen_general(coeffs)
+    for c in coup:
+        np.testing.assert_allclose(np.asarray(c), 1.0, atol=1e-12)
+    # row-sum part: m = 4*(2+4) = 24, minus the four couplings
+    np.testing.assert_allclose(np.asarray(a0c), 20.0, atol=1e-12)
+
+
+def test_mg_general_under_shifted_operator_solves():
+    """End-to-end guard for the same regression: multigrid2d_general
+    preconditioning a strongly shifted Jacobian (the PTC small-delta
+    shape, diagonal sign flipped by the shift) must still converge with
+    multilevel/ADI-quality counts.  The shift is chosen PAST the
+    indefinite band (for the Dx2-scaled Laplacian-like J, eigen(aI+J) is
+    [a-8, a]: a in (0, 8) is a Helmholtz-like indefinite operator no
+    geometric MG is expected to handle) -- the regression under test is
+    the clamp orientation, which the old code got wrong for ANY a > 4."""
+    from newtonkrylov_tpu.mg import multigrid2d_general
+    from newtonkrylov_tpu.operator import JacobianOperator, ShiftedOperator
+    from newtonkrylov_tpu.problems import bratu2d
+    from newtonkrylov_tpu.solvers import gmres
+
+    n = 64
+    p = bratu2d.default_config(n, lam=5.0)
+    u = bratu2d.initial_guess(n, dtype=jnp.float64)
+    J = JacobianOperator(bratu2d.residual_scaled, u, p)
+    Js = ShiftedOperator(J, 8.5)  # diagonal ~ +4.5: sign flipped, definite
+    M = multigrid2d_general()(Js)
+    b = J.res
+    res = gmres(Js, b, M=M, rtol=1e-10, restart=None, itmax=200)
+    assert bool(res.converged)
+    # measured 1 inner (ADI solves the strongly-diagonal case exactly);
+    # unpreconditioned takes 17
+    assert int(res.niter) <= 5
+
+
 def test_mg_general_nonsquare_grid_level_cap():
     """Review regression: the hierarchy depth must respect BOTH dims --
     (32, 50) coarsens once to (16, 25) and must stop there (25 is odd;

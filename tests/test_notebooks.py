@@ -11,11 +11,18 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 DOCS = os.path.join(os.path.dirname(__file__), "..", "docs")
 
 
 def test_build_one_executed_notebook(tmp_path):
-    import nbformat
+    # the notebook toolchain is a docs-job dependency, not a test-job one
+    # (ci.yml installs nbformat/nbclient/ipykernel only there) — skip
+    # rather than error where it is absent
+    nbformat = pytest.importorskip("nbformat")
+    pytest.importorskip("nbclient")
+    pytest.importorskip("ipykernel")
 
     env = dict(os.environ)
     # build into a tmp dir: cell ids are random per build, so writing the
